@@ -1,0 +1,125 @@
+"""Folding technique tests: phase/fold kernels, folded-vs-unfolded overlap
+agreement, fused deposition parity (SURVEY.md §4b golden tests)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vpower_tpu import (
+    BoxField,
+    folded_spectrum,
+    folded_spectrum_sweep,
+    fused_fold_spectrum,
+    init_beta_space,
+    relative_diff,
+    spectrum_from_field,
+    synthetic_particles,
+)
+from vpower_tpu.run.pipeline import deposit
+from vpower_tpu.spectrum import fold as fold_mod
+
+
+def np_get_phase(beta, total_n, n_local, offset=(0, 0, 0)):
+    """Mirror of reference _get_phase (interp.py:1215-1224)."""
+    x = np.arange(offset[0], offset[0] + n_local)
+    y = np.arange(offset[1], offset[1] + n_local)
+    z = np.arange(offset[2], offset[2] + n_local)
+    xxx, yyy, zzz = np.meshgrid(x, y, z, indexing="ij")
+    return np.exp(
+        -1j * (2 * np.pi / total_n) * (beta[0] * xxx + beta[1] * yyy + beta[2] * zzz)
+    )
+
+
+def test_get_phase_matches_reference():
+    phase = np.asarray(
+        fold_mod.get_phase((1, 2, 3), total_n=16, n_local=8, offset=(4, 0, 8),
+                           dtype=jnp.complex128)
+    )
+    ref = np_get_phase((1, 2, 3), 16, 8, (4, 0, 8))
+    np.testing.assert_allclose(phase, ref, atol=1e-12)
+
+
+def test_fold_field_matches_block_loop():
+    """fold_field reshape-reduction == reference's m^3 block loop
+    (interp.py:1227-1252)."""
+    key = jax.random.PRNGKey(0)
+    f = jax.random.normal(key, (12, 12, 12, 3), jnp.float64)
+    m = 3
+    ours = np.asarray(fold_mod.fold_field(f, m))
+    fn = np.asarray(f)
+    nb = 12 // m
+    ref = np.zeros((nb, nb, nb, 3))
+    for i in range(m):
+        for j in range(m):
+            for k in range(m):
+                ref += fn[i*nb:(i+1)*nb, j*nb:(j+1)*nb, k*nb:(k+1)*nb, :]
+    np.testing.assert_allclose(ours, ref, rtol=1e-13)
+
+
+def _toy_field(key, n_grid, box=1.0, dtype=jnp.float64):
+    kv, km = jax.random.split(key)
+    v = jax.random.normal(kv, (n_grid, n_grid, n_grid, 3), dtype)
+    mass = jax.random.uniform(km, (n_grid, n_grid, n_grid), dtype) + 0.5
+    return BoxField(velocity=v, mass=mass, cell_size=box / n_grid)
+
+
+def test_fold_m1_identity():
+    """m=1, beta=0 reproduces the unfolded spectrum on the same lattice."""
+    field = _toy_field(jax.random.PRNGKey(1), 16)
+    s_direct = spectrum_from_field(field)
+    s_fold = folded_spectrum(field, m=1, beta=(0, 0, 0))
+    np.testing.assert_allclose(s_fold.k, s_direct.k, rtol=1e-12)
+    np.testing.assert_allclose(s_fold.Psum, s_direct.Psum, rtol=1e-8)
+    np.testing.assert_allclose(s_fold.Nsample, s_direct.Nsample)
+
+
+def test_full_beta_sweep_reconstructs_unfolded_spectrum():
+    """Combining ALL m^3 sub-spectra reproduces the unfolded spectrum's
+    binned Psum/Nsample exactly over the shared k range — the folding
+    identity (interp.py:939-944; validated via relative_diff semantics,
+    spctrm.py:321-346)."""
+    field = _toy_field(jax.random.PRNGKey(2), 16)
+    m = 2
+    s_direct = spectrum_from_field(field)  # bins: kmin=2pi/L .. pi/Lcell
+    subs = folded_spectrum_sweep(field, m=m)
+    combined = subs.combine_all()
+    # The folded sub-spectra live on the same global lattice but only the
+    # folded FFT's modes: combined covers every mode of the original FFT.
+    n = min(len(combined), len(s_direct))
+    np.testing.assert_allclose(
+        combined.Nsample[:n], s_direct.Nsample[:n], atol=0
+    )
+    np.testing.assert_allclose(combined.Psum[:n], s_direct.Psum[:n], rtol=1e-8)
+    assert relative_diff(combined, s_direct, mode="max") < 1e-7
+
+
+def test_fused_fold_matches_grid_fold():
+    """Fold+phase fused into NGP deposition == deposit-then-fold
+    (the TODO at parallel_optimized.py:377-378, done)."""
+    key = jax.random.PRNGKey(3)
+    n_total, m = 16, 2
+    n_grid = n_total // m
+    particles = synthetic_particles(key, n_total, box_size=1.0,
+                                    dtype=jnp.float64)
+    beta = (1, 0, 1)
+    # Path A: full-resolution momentum field, then grid fold.
+    field = deposit(particles, n_total, method="ngp")
+    sA = folded_spectrum(field, m=m, beta=beta, quantity="momentum")
+    # Path B: fused fold deposition on the (n_total/m) grid.
+    sB = fused_fold_spectrum(particles, n_grid, m=m, beta=beta)
+    np.testing.assert_allclose(sB.k, sA.k, rtol=1e-12)
+    np.testing.assert_allclose(sB.Nsample, sA.Nsample)
+    np.testing.assert_allclose(sB.Psum, sA.Psum, rtol=1e-6)
+
+
+def test_fold_particles():
+    pos = jnp.array([[0.9, 0.1, 0.6], [0.3, 0.45, 0.2]])
+    folded = np.asarray(fold_mod.fold_particles(pos, 2, 1.0))
+    np.testing.assert_allclose(folded, [[0.4, 0.1, 0.1], [0.3, 0.45, 0.2]],
+                               atol=1e-12)
+
+
+def test_init_beta_space():
+    b = init_beta_space(2)
+    assert b.shape == (8, 3)
+    assert set(map(tuple, b)) == {(i, j, k) for i in range(2)
+                                  for j in range(2) for k in range(2)}

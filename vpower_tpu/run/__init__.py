@@ -1,0 +1,13 @@
+from .pipeline import (
+    deposit,
+    power_spectrum,
+    spectrum_from_field,
+    folded_spectrum,
+    folded_spectrum_sweep,
+    fused_fold_spectrum,
+)
+
+__all__ = [
+    "deposit", "power_spectrum", "spectrum_from_field",
+    "folded_spectrum", "folded_spectrum_sweep", "fused_fold_spectrum",
+]

@@ -1,0 +1,283 @@
+"""End-to-end pipelines: particles -> grid -> P(k), single chip.
+
+This is the unified core that the reference implemented twice — once in
+the library (``vpower/interp.py``) and once, diverging, in the MPI
+scripts (``scripts/parallel_optimized.py``); SURVEY.md §1 calls out the
+duplication as the thing to unify.  Everything here is functional and
+jittable; host-side orchestration (PowerSpectrum objects, folding sweeps)
+wraps the jitted device kernels.
+
+Deposition semantics
+--------------------
+Scatter methods (``ngp``, ``cic``, ``sph``) deposit ``[m*v, m]`` and
+derive ``v = p / m`` — exactly conservative in mass and momentum.  The
+gather method (``nn``) assigns each cell the velocity/density of its
+nearest particle with ``mass = rho * Lcell^3``, the reference's ANN
+semantics (``interp.py:272-273``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.field import BoxField, FoldedField
+from ..core.particles import Particles
+from ..deposit.scatter import deposit_cic, deposit_ngp
+from ..spectrum import fold as fold_mod
+from ..spectrum import power as power_mod
+from ..spectrum.spectrum import PowerSpectrum, SpectrumList, init_beta_space
+
+__all__ = [
+    "deposit",
+    "power_spectrum",
+    "spectrum_from_field",
+    "folded_spectrum",
+    "folded_spectrum_sweep",
+    "fused_fold_spectrum",
+]
+
+
+def _divide_momentum(p_grid: jax.Array, m_grid: jax.Array) -> jax.Array:
+    """v = p / m with an exact zero-mass guard (reference zero-mass
+    handling at ``interp.py:629, 996-1015``)."""
+    safe = jnp.where(m_grid > 0, m_grid, 1.0)
+    return jnp.where(m_grid[..., None] > 0, p_grid / safe[..., None], 0.0)
+
+
+@partial(jax.jit, static_argnames=("n_grid", "method"))
+def _deposit_scatter(particles: Particles, n_grid: int, method: str) -> BoxField:
+    values = jnp.concatenate(
+        [particles.vel * particles.mass[:, None], particles.mass[:, None]], axis=1
+    )
+    fn = {"ngp": deposit_ngp, "cic": deposit_cic}[method]
+    grid = fn(particles.pos, values, n_grid, particles.box_size)
+    m_grid = grid[..., 3]
+    v_grid = _divide_momentum(grid[..., :3], m_grid)
+    return BoxField(
+        velocity=v_grid, mass=m_grid, cell_size=particles.box_size / n_grid
+    )
+
+
+def deposit(
+    particles: Particles,
+    n_grid: int,
+    method: str = "cic",
+    **kwargs,
+) -> BoxField:
+    """Deposit/interpolate particles onto an (n_grid)^3 field.
+
+    ``method``: ``ngp`` | ``cic`` (scatter), ``nn`` (exact nearest-
+    neighbor gather, reference ``ann_interp_to_field`` ``interp.py:246-277``),
+    ``sph`` (adaptive-kernel scatter, reference ``voxelize_interp_to_field``
+    ``interp.py:280-340``).
+    """
+    if method in ("ngp", "cic"):
+        return _deposit_scatter(particles, n_grid, method)
+    if method == "nn":
+        from ..deposit.nn import nn_interp_to_field
+
+        return nn_interp_to_field(particles, n_grid, **kwargs)
+    if method == "sph":
+        from ..deposit.sph import sph_interp_to_field
+
+        return sph_interp_to_field(particles, n_grid, **kwargs)
+    raise ValueError(f"Unknown deposition method {method!r}")
+
+
+# ---------------------------------------------------------------------- #
+# spectra                                                                #
+# ---------------------------------------------------------------------- #
+def _quantity_grid(field: BoxField, quantity: str) -> jax.Array:
+    if quantity == "velocity":
+        return field.velocity
+    if quantity == "momentum":
+        return field.momentum()
+    if quantity == "energy":
+        return field.kinetic_energy()
+    raise ValueError(
+        "Unrecognized physical quantity name. "
+        "Supported: 'velocity', 'momentum', 'energy'."
+    )
+
+
+@partial(jax.jit, static_argnames=("quantity", "kmin", "kmax", "spacing"))
+def _spectrum_device(
+    field: BoxField,
+    quantity: str,
+    kmin: Optional[float],
+    kmax: Optional[float],
+    spacing: Optional[float],
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    data = _quantity_grid(field, quantity)
+    box = field.box_size
+    if data.ndim == 4:
+        p_grid = power_mod.vector_power(data, box)
+    else:
+        p_grid = power_mod.scalar_power(data, box)
+    return power_mod.shell_bin(p_grid, box, kmin=kmin, kmax=kmax, spacing=spacing)
+
+
+def spectrum_from_field(
+    field: BoxField,
+    quantity: str = "velocity",
+    kmin: Optional[float] = None,
+    kmax: Optional[float] = None,
+    spacing: Optional[float] = None,
+) -> PowerSpectrum:
+    """FFT power + shell binning + ESD weighting -> PowerSpectrum.
+
+    Reference ``BoxField.spctrm`` (``interp.py:560-595``): same defaults
+    (kmin = 2 pi / L, kmax = pi / Lcell, spacing = kmin) and the same
+    ``4 pi k^2`` shell weighting applied on the host via
+    :meth:`PowerSpectrum.from_binned`.
+    """
+    k, psum, nsample = _spectrum_device(field, quantity, kmin, kmax, spacing)
+    return PowerSpectrum.from_binned(
+        np.asarray(k), np.asarray(psum), np.asarray(nsample)
+    )
+
+
+def power_spectrum(
+    particles: Particles,
+    n_grid: int,
+    method: str = "cic",
+    quantity: str = "velocity",
+    kmin: Optional[float] = None,
+    kmax: Optional[float] = None,
+    spacing: Optional[float] = None,
+    **deposit_kwargs,
+) -> PowerSpectrum:
+    """The docs-quickstart pipeline in one call: load -> interp -> spctrm
+    (reference ``docs/source/getting_started.rst:30-78``)."""
+    field = deposit(particles, n_grid, method=method, **deposit_kwargs)
+    return spectrum_from_field(
+        field, quantity=quantity, kmin=kmin, kmax=kmax, spacing=spacing
+    )
+
+
+# ---------------------------------------------------------------------- #
+# folded spectra                                                         #
+# ---------------------------------------------------------------------- #
+@partial(jax.jit, static_argnames=("quantity", "m", "beta", "kmax_total"))
+def _folded_spectrum_device(
+    field: BoxField,
+    quantity: str,
+    m: int,
+    beta: Tuple[int, int, int],
+    kmax_total: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    folded = fold_mod.fold_box_field(field, m, beta, quantity=quantity)
+    p_grid = power_mod.vector_power_from_complex(folded.field, folded.box_size) \
+        if folded.field.ndim == 4 else \
+        power_mod.scalar_power_from_complex(folded.field, folded.box_size)
+    total_box = folded.total_box_size
+    kshift = tuple(2.0 * np.pi * b / total_box for b in beta)
+    # Bin on the GLOBAL lattice: kmin/spacing from the full box so all
+    # sub-spectra share one bin set (reference parallel_optimized.py:430).
+    return power_mod.shell_bin(
+        p_grid,
+        folded.box_size,
+        kmin=2.0 * np.pi / total_box,
+        kmax=kmax_total,
+        spacing=2.0 * np.pi / total_box,
+        kshift=kshift,
+    )
+
+
+def folded_spectrum(
+    field: BoxField,
+    m: int,
+    beta: Sequence[int],
+    quantity: str = "velocity",
+) -> PowerSpectrum:
+    """Sub-spectrum for one phase offset beta of a fold-by-m
+    (reference ``FoldedBox.fold_spctrm``, ``interp.py:755-791``)."""
+    beta = tuple(int(b) for b in beta)
+    kmax_total = float(np.pi / field.cell_size)  # Nyquist of the folded grid
+    k, psum, nsample = _folded_spectrum_device(
+        field, quantity, int(m), beta, kmax_total
+    )
+    return PowerSpectrum.from_binned(
+        np.asarray(k), np.asarray(psum), np.asarray(nsample), m=int(m), beta=beta
+    )
+
+
+def folded_spectrum_sweep(
+    field: BoxField,
+    m: int,
+    quantity: str = "velocity",
+    beta_sequence: Optional[np.ndarray] = None,
+) -> SpectrumList:
+    """All (or a subset of) the m^3 beta sub-spectra — embarrassingly
+    parallel over beta (SURVEY.md §2.4)."""
+    if beta_sequence is None:
+        beta_sequence = init_beta_space(m)
+    return SpectrumList(
+        [folded_spectrum(field, m, beta, quantity) for beta in beta_sequence]
+    )
+
+
+@partial(jax.jit, static_argnames=("n_grid", "m", "beta", "kmax_total"))
+def _fused_fold_device(
+    particles: Particles,
+    n_grid: int,
+    m: int,
+    beta: Tuple[int, int, int],
+    kmax_total: float,
+):
+    """Fold + phase fused into NGP deposition of the momentum field:
+    never materializes the full-resolution grid.  This is the TPU answer
+    to the reference's buffered query loop
+    (``parallel_optimized.py:362-398``)."""
+    box = particles.box_size
+    values = jnp.concatenate(
+        [particles.vel * particles.mass[:, None], particles.mass[:, None]], axis=1
+    )
+    fpos, fvals = fold_mod.fold_deposit_weights(
+        particles.pos, values, m, beta, box, n_total=m * n_grid
+    )
+    folded_box = box / m
+    grid_re = deposit_ngp(fpos, jnp.real(fvals), n_grid, folded_box)
+    grid_im = deposit_ngp(fpos, jnp.imag(fvals), n_grid, folded_box)
+    grid = jax.lax.complex(grid_re, grid_im)
+    # Velocity-weighted variant would divide by folded mass; the momentum
+    # field needs no division and stays exactly conservative.
+    p_grid = power_mod.vector_power_from_complex(grid[..., :3], folded_box)
+    kshift = tuple(2.0 * np.pi * b / box for b in beta)
+    return power_mod.shell_bin(
+        p_grid,
+        folded_box,
+        kmin=2.0 * np.pi / box,
+        kmax=kmax_total,
+        spacing=2.0 * np.pi / box,
+        kshift=kshift,
+    )
+
+
+def fused_fold_spectrum(
+    particles: Particles,
+    n_grid: int,
+    m: int,
+    beta: Sequence[int],
+) -> PowerSpectrum:
+    """Momentum sub-spectrum with fold+phase fused into deposition.
+
+    ``n_grid`` is the size of the FOLDED grid, so memory is
+    O((n_grid)^3) regardless of the total dynamic range ``m * n_grid``
+    — the property the reference's brick/MPI machinery existed to
+    provide (SURVEY.md §3.3-3.4).
+    """
+    beta = tuple(int(b) for b in beta)
+    cell = particles.box_size / (m * n_grid)
+    kmax_total = float(np.pi / cell)
+    k, psum, nsample = _fused_fold_device(
+        particles, int(n_grid), int(m), beta, kmax_total
+    )
+    return PowerSpectrum.from_binned(
+        np.asarray(k), np.asarray(psum), np.asarray(nsample), m=int(m), beta=beta
+    )

@@ -1,0 +1,28 @@
+from .power import (
+    power_norm,
+    vector_power,
+    scalar_power,
+    vector_power_from_complex,
+    scalar_power_from_complex,
+    bin_grid,
+    shell_bin,
+    default_k_bins,
+)
+from .spectrum import (
+    PowerSpectrum,
+    SpectrumList,
+    relative_diff,
+    empty_spectrum_like,
+    init_beta_space,
+    random_beta_sequence,
+)
+from . import fold
+
+__all__ = [
+    "power_norm", "vector_power", "scalar_power",
+    "vector_power_from_complex", "scalar_power_from_complex",
+    "bin_grid", "shell_bin", "default_k_bins",
+    "PowerSpectrum", "SpectrumList", "relative_diff",
+    "empty_spectrum_like", "init_beta_space", "random_beta_sequence",
+    "fold",
+]
