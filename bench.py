@@ -1,0 +1,87 @@
+"""Headline benchmark: end-to-end snapshot -> P(k) on one TPU chip.
+
+Workload mirrors the reference's recorded run (BASELINE.md):
+~10M particles, NN deposition, vector FFT power, shell binning — the
+reference did 500^3 with Annoy-NN deposition in ~16.5 s wall on 8 MPI
+ranks (``scripts/buffer_test.log:1-45``).  We run 512^3 (slightly
+larger) on ONE chip and report wall seconds steady-state.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": baseline/ours}
+(vs_baseline > 1 means faster than the reference.)
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+N_PARTICLES = 10_000_000
+N_GRID = 512
+BOX = 1.0
+BASELINE_SECONDS = 16.5  # reference: 500^3, 9.6M particles, 8 ranks
+
+
+def make_workload():
+    from vpower_tpu.io.synthetic import gaussian_random_field, grid_positions, \
+        particles_from_field
+
+    key = jax.random.PRNGKey(42)
+    kf, kp = jax.random.split(key)
+    # Velocity field sampled at 256^3 (generation cost is not benchmarked),
+    # particles jittered off a 216^3 lattice to 10M and wrapped.
+    field = gaussian_random_field(kf, 256, BOX)
+    n_lattice = 216  # 216^3 = 10,077,696 ~ the reference's 9.6M
+    pos = grid_positions(n_lattice, BOX, key=kp, jitter=3.0)
+    particles = particles_from_field(field, BOX, pos)
+    return particles
+
+
+def pipeline(particles):
+    from vpower_tpu.deposit.nn import nn_interp_to_field
+    from vpower_tpu.spectrum.power import shell_bin, vector_power
+
+    field = nn_interp_to_field(particles, N_GRID)
+    p_grid = vector_power(field.velocity, BOX)
+    return shell_bin(p_grid, BOX)
+
+
+def main():
+    particles = make_workload()
+    # Force materialization of inputs before timing.
+    float(jnp.sum(particles.pos[:, 0]))
+
+    run = jax.jit(pipeline)
+    # Warm-up: compile (not timed — FFTW planning was likewise excluded
+    # by the reference's plan cache, interp.py:41).
+    k, psum, nsample = run(particles)
+    float(np.asarray(psum)[0])
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        k, psum, nsample = run(particles)
+        # device->host sync (block_until_ready is a no-op on some
+        # remote-execution platforms)
+        np.asarray(psum)
+        np.asarray(nsample)
+        times.append(time.perf_counter() - t0)
+
+    value = float(min(times))
+    print(
+        json.dumps(
+            {
+                "metric": f"{N_GRID}^3 snapshot->P(k) wall time "
+                          f"(10M particles, NN deposition, 1 chip)",
+                "value": round(value, 3),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_SECONDS / value, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

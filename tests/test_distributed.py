@@ -1,0 +1,134 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh (SURVEY.md §4c:
+the TPU-native analog of multi-node testing without a cluster)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from vpower_tpu import synthetic_particles, deposit, spectrum_from_field
+from vpower_tpu.parallel import (
+    distributed_spectrum,
+    distributed_folded_sweep,
+    make_mesh,
+    mesh_shape_for,
+    plan_run,
+)
+from vpower_tpu.fft.distributed import pencil_fftn, pencil_output_starts
+from vpower_tpu.run.pipeline import folded_spectrum, fused_fold_spectrum
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_mesh_shape():
+    assert mesh_shape_for(8) == (4, 2)
+    assert mesh_shape_for(16) == (4, 4)
+    assert mesh_shape_for(4) == (2, 2)
+
+
+def test_pencil_fft_matches_fftn(mesh):
+    """Distributed pencil FFT == single-device jnp.fft.fftn."""
+    key = jax.random.PRNGKey(0)
+    n = 16
+    x = jax.random.normal(key, (n, n, n), jnp.float32)
+
+    f = jax.jit(
+        jax.shard_map(
+            lambda b: pencil_fftn(b.astype(jnp.complex64)),
+            mesh=mesh,
+            in_specs=P("x", "y"),
+            out_specs=P(None, "x", "y"),  # output layout: X full, Y/x, Z/y
+        )
+    )
+    got = np.asarray(f(x))
+    ref = np.fft.fftn(np.asarray(x))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_pencil_output_starts(mesh):
+    n = 16
+    f = jax.jit(
+        jax.shard_map(
+            lambda: pencil_output_starts(n).reshape(1, 3),
+            mesh=mesh,
+            in_specs=(),
+            out_specs=P(("x", "y")),
+        )
+    )
+    starts = np.asarray(f())  # (8, 3) — one row per device
+    assert set(starts[:, 0]) == {0}
+    assert set(starts[:, 1]) == {0, 4, 8, 12}  # N/px = 4
+    assert set(starts[:, 2]) == {0, 8}  # N/py = 8
+
+
+@pytest.mark.parametrize("method", ["ngp", "cic"])
+@pytest.mark.parametrize("quantity", ["velocity", "momentum", "energy"])
+def test_distributed_matches_single_device(mesh, method, quantity):
+    """Sharded deposit + pencil FFT + psum binning == the single-device
+    pipeline, bit-for-bin."""
+    particles = synthetic_particles(
+        jax.random.PRNGKey(1), 16, box_size=1.0, jitter=0.4
+    )
+    s_dist = distributed_spectrum(
+        particles, 16, mesh, method=method, quantity=quantity
+    )
+    field = deposit(particles, 16, method=method)
+    s_ref = spectrum_from_field(field, quantity=quantity)
+    np.testing.assert_allclose(s_dist.k, s_ref.k, rtol=1e-6)
+    np.testing.assert_allclose(s_dist.Nsample, s_ref.Nsample)
+    np.testing.assert_allclose(s_dist.Psum, s_ref.Psum, rtol=2e-4)
+
+
+def test_distributed_fused_fold_matches_single_device(mesh):
+    particles = synthetic_particles(
+        jax.random.PRNGKey(2), 16, box_size=1.0, jitter=0.3
+    )
+    beta = (1, 0, 1)
+    s_dist = distributed_spectrum(
+        particles, 8, mesh, method="ngp", quantity="momentum", fold=(2, beta)
+    )
+    s_ref = fused_fold_spectrum(particles, 8, m=2, beta=beta)
+    np.testing.assert_allclose(s_dist.Nsample, s_ref.Nsample)
+    np.testing.assert_allclose(s_dist.Psum, s_ref.Psum, rtol=2e-4)
+
+
+def test_distributed_folded_sweep_reconstructs(mesh):
+    """Full beta sweep on the mesh == unfolded momentum spectrum
+    (folding identity, distributed)."""
+    particles = synthetic_particles(
+        jax.random.PRNGKey(3), 16, box_size=1.0, jitter=0.3
+    )
+    subs = distributed_folded_sweep(particles, 8, mesh, m=2, method="ngp")
+    combined = subs.combine_all()
+    s_ref = distributed_spectrum(particles, 16, mesh, method="ngp",
+                                 quantity="momentum")
+    n = min(len(combined), len(s_ref))
+    np.testing.assert_allclose(combined.Nsample[:n], s_ref.Nsample[:n])
+    np.testing.assert_allclose(combined.Psum[:n], s_ref.Psum[:n], rtol=2e-4)
+
+
+def test_fold_requires_momentum(mesh):
+    particles = synthetic_particles(jax.random.PRNGKey(4), 8)
+    with pytest.raises(ValueError):
+        distributed_spectrum(
+            particles, 4, mesh, quantity="velocity", fold=(2, (0, 0, 0))
+        )
+
+
+def test_planner():
+    plan = plan_run(n_total=2048, n_devices=16, hbm_bytes=16e9,
+                    n_particles=10_000_000)
+    assert plan.n_total == plan.fold_m * plan.n_grid
+    assert plan.mesh_shape == (4, 4)
+    assert plan.n_grid % 4 == 0
+    assert plan.bytes_per_device < 16e9
+    assert plan.fold_m >= 2  # 2048^3 can't fit one chip
+    assert "Planner" in plan.describe()
+
+    # small case: no folding needed
+    plan2 = plan_run(n_total=128, n_devices=8, hbm_bytes=16e9)
+    assert plan2.fold_m == 1 and plan2.n_grid == 128

@@ -21,6 +21,7 @@ Quickstart (mirrors the reference docs, ``docs/source/getting_started.rst``)::
 
 from .core.particles import Particles
 from .core.field import BoxField, FoldedField
+from .io.bricks import BrickStore
 from .io.snapshot import load_snapshot, save_snapshot, init_dir
 from .io.synthetic import (
     gaussian_random_field,
@@ -35,6 +36,7 @@ from .run.pipeline import (
     folded_spectrum,
     folded_spectrum_sweep,
     fused_fold_spectrum,
+    spectrum_from_folded,
 )
 from .spectrum.spectrum import (
     PowerSpectrum,
@@ -65,6 +67,8 @@ __all__ = [
     "folded_spectrum",
     "folded_spectrum_sweep",
     "fused_fold_spectrum",
+    "spectrum_from_folded",
+    "BrickStore",
     "PowerSpectrum",
     "SpectrumList",
     "relative_diff",

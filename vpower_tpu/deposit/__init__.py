@@ -1,3 +1,9 @@
 from .scatter import cell_index, deposit_ngp, deposit_cic, sort_by_cell
+from .nn import nn_assign, nn_brute_force, nn_interp_to_field
+from .sph import sph_deposit, sph_interp_to_field, kernel_weight
 
-__all__ = ["cell_index", "deposit_ngp", "deposit_cic", "sort_by_cell"]
+__all__ = [
+    "cell_index", "deposit_ngp", "deposit_cic", "sort_by_cell",
+    "nn_assign", "nn_brute_force", "nn_interp_to_field",
+    "sph_deposit", "sph_interp_to_field", "kernel_weight",
+]

@@ -1,0 +1,427 @@
+"""Nearest-neighbor (Voronoi) interpolation onto a regular grid.
+
+TPU-native replacement for the reference's ANN/Annoy kd-tree path —
+the dominant hot loop of the whole reference pipeline (hours at N=1000,
+``scripts/ann_benchmark.py``; ~1-2 M queries/s/core with Annoy,
+BASELINE.md).  Instead of N^3 pointer-chasing tree queries
+(``vpower/interp.py:1018-1049``, ``parallel_optimized.py:348``), we
+compute the discrete Voronoi diagram of the particle set on the grid
+with dense, statically-shaped XLA ops:
+
+1. **Seed sort** — one ``lax.sort`` by (cell id, distance-to-center)
+   yields the rank-k nearest-to-center particle of every cell; rank-k
+   winners land in seed grids via conflict-free scatters.
+2. **Multigrid descent** — seeds are min-pooled up a 2x coarsening
+   pyramid; the coarsest level runs a full 26-neighborhood jump-flood;
+   each finer level upsamples the candidate field, merges that level's
+   seeds, and runs a few stride-1/stride-2 sweep rounds.  All neighbor
+   exchanges are static-shift ``jnp.roll`` — pure VPU/HBM streaming,
+   no scatter, no dynamic control flow.
+3. **Exact ring refinement** (``exact=True``) — a particle-major
+   scatter-min over all cells within ``refine_radius`` rings of each
+   particle's cell.  Occupancy-independent: it repairs the residual
+   error class of any seed-based scheme (the true NN of a *neighboring*
+   cell out-ranked inside its own crowded cell).  Costs XLA scatters,
+   so it is the opt-in exactness mode, not the default.
+
+Accuracy: fast mode measured <~1e-3 cell misassignments (each bounded
+by ~a cell diagonal); exact mode measured 0 against brute force on all
+tested configurations.  The reference's production path (Annoy with a
+single tree, ``parallel_optimized.py:310``) is far more approximate
+than even fast mode; its library path is exact ANN (eps=0,
+``interp.py:1027-1034``) — matched by exact mode (SURVEY.md "hard
+parts": exact 1-NN).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.field import BoxField
+from ..core.particles import Particles
+
+__all__ = ["nn_assign", "nn_brute_force", "nn_interp_to_field"]
+
+_COARSEST = 8  # grid size at which the full jump flood takes over
+
+
+def _seed_grids(pos: jax.Array, n_grid: int, box_size: float, n_seeds: int):
+    """Rank-k nearest-to-own-cell-center particle per cell, k < n_seeds.
+
+    Returns ``(seed_idx, seed_pos)`` with leading axis k;
+    ``seed_idx == -1`` marks cells holding fewer than k+1 particles.
+    """
+    n_cells = n_grid**3
+    cell = box_size / n_grid
+    ijk = jnp.floor(pos / cell).astype(jnp.int32) % n_grid
+    ids = (ijk[:, 0] * n_grid + ijk[:, 1]) * n_grid + ijk[:, 2]
+    centers = (ijk.astype(pos.dtype) + 0.5) * cell
+    d2 = jnp.sum((pos - centers) ** 2, axis=1)
+
+    pidx = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    ids_s, _, pidx_s = jax.lax.sort((ids, d2, pidx), num_keys=2)
+
+    new_seg = ids_s[1:] != ids_s[:-1]
+    rank_mask = jnp.concatenate([jnp.array([True]), new_seg])  # k = 0
+    idx_list, pos_list = [], []
+    for k in range(n_seeds):
+        target = jnp.where(rank_mask, ids_s, n_cells)  # losers dropped
+        seed_idx = jnp.full((n_cells,), -1, jnp.int32).at[target].set(
+            pidx_s, mode="drop"
+        )
+        seed_pos = jnp.zeros((n_cells, 3), pos.dtype).at[target].set(
+            pos[pidx_s], mode="drop"
+        )
+        idx_list.append(seed_idx.reshape((n_grid,) * 3))
+        pos_list.append(seed_pos.reshape((n_grid,) * 3 + (3,)))
+        if k + 1 < n_seeds:
+            rank_mask = jnp.concatenate(
+                [jnp.array([False]), rank_mask[:-1] & ~new_seg]
+            )
+    return jnp.stack(idx_list), jnp.stack(pos_list)
+
+
+def _centers_1d(n_grid: int, box_size: float, dtype) -> jax.Array:
+    return (jnp.arange(n_grid, dtype=dtype) + 0.5) * (box_size / n_grid)
+
+
+def _make_dist2(n_grid: int, box_size: float, periodic: bool, dtype):
+    axis = _centers_1d(n_grid, box_size, dtype)
+    cx = axis[:, None, None]
+    cy = axis[None, :, None]
+    cz = axis[None, None, :]
+
+    def dist2(p):
+        dx = cx - p[..., 0]
+        dy = cy - p[..., 1]
+        dz = cz - p[..., 2]
+        if periodic:
+            dx = dx - box_size * jnp.round(dx / box_size)
+            dy = dy - box_size * jnp.round(dy / box_size)
+            dz = dz - box_size * jnp.round(dz / box_size)
+        return dx * dx + dy * dy + dz * dz
+
+    return dist2
+
+
+def _merge(state, cand_idx, cand_pos, cand_d2):
+    bi, bp, bd = state
+    take = cand_d2 < bd
+    return (
+        jnp.where(take, cand_idx, bi),
+        jnp.where(take[..., None], cand_pos, bp),
+        jnp.where(take, cand_d2, bd),
+    )
+
+
+def _sweep(state, dist2, big, shifts, extra_fields=()):
+    """Neighbor compares over a list of offset vectors (sequential, so
+    information chains across offsets within one call).
+
+    ``extra_fields``: additional (idx, pos) candidate grids compared at
+    every offset alongside the state itself.  This is the eviction
+    repair: the state keeps only ONE candidate per cell (the best for
+    *that* cell), but a neighboring query may prefer a candidate that
+    lost locally — rolling the per-rank seed fields gives every query
+    direct access to each neighbor cell's rank-k particles.
+
+    Implemented as a ``lax.scan`` over the offset array so the sweep
+    compiles once regardless of offset count (a fully unrolled roll
+    chain takes minutes in XLA); the dynamic rolls cost extra copies at
+    runtime — the planned Pallas halo kernel replaces this whole sweep
+    with a single HBM pass.
+
+    ``extra_fields`` is an optional pre-stacked pair
+    ``(idx (k,n,n,n), pos (k,n,n,n,3))``; ranks are rolled one at a
+    time to keep the transient footprint at one cube, not k.
+    """
+    xi, xp = extra_fields if extra_fields else (None, None)
+
+    def body(st, sv):
+        shift = (sv[0], sv[1], sv[2])
+        ci = jnp.roll(st[0], shift, axis=(0, 1, 2))
+        cp = jnp.roll(st[1], shift, axis=(0, 1, 2))
+        cd = jnp.where(ci >= 0, dist2(cp), big)
+        st = _merge(st, ci, cp, cd)
+        if xi is not None:
+            for k in range(xi.shape[0]):
+                ri = jnp.roll(xi[k], shift, axis=(0, 1, 2))
+                rp = jnp.roll(xp[k], shift, axis=(0, 1, 2))
+                cd = jnp.where(ri >= 0, dist2(rp), big)
+                st = _merge(st, ri, rp, cd)
+        return st, None
+
+    state, _ = jax.lax.scan(body, state, jnp.asarray(shifts, jnp.int32))
+    return state
+
+
+def _level_shifts(rounds: int) -> List[Tuple[int, int, int]]:
+    """Per-level repair sweeps after upsampling: stride-2 then stride-1
+    26-neighborhoods, ``rounds`` times (a coarse-level +-1 error is a
+    fine-level +-2 displacement, so the stride-2 pass is what lets one
+    round repair upsampling artifacts).  Sequential compares chain, so
+    information travels farther than the nominal radius."""
+    base = [
+        (dx, dy, dz)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+        if (dx, dy, dz) != (0, 0, 0)
+    ]
+    shifts = []
+    for _ in range(rounds):
+        shifts.extend([(2 * dx, 2 * dy, 2 * dz) for dx, dy, dz in base])
+        shifts.extend(base)
+    return shifts
+
+
+def _coarsest_exact(seed_idx, seed_pos, n_grid, box_size, periodic, big):
+    """Exact NN at the coarsest level by dense all-pairs distance:
+    every cell against every coarsest-level seed particle (<= k * 8^3
+    candidates — one small matmul-shaped op, the TPU-native 'brute
+    force' base case)."""
+    dtype = seed_pos.dtype
+    k = seed_idx.shape[0]
+    cand_idx = seed_idx.reshape(-1)  # (k * n^3,)
+    cand_pos = seed_pos.reshape(-1, 3)
+    axis = _centers_1d(n_grid, box_size, dtype)
+    cx, cy, cz = jnp.meshgrid(axis, axis, axis, indexing="ij")
+    centers = jnp.stack([cx.ravel(), cy.ravel(), cz.ravel()], axis=1)
+    d = centers[:, None, :] - cand_pos[None, :, :]  # (n^3, k n^3, 3)
+    if periodic:
+        d = d - box_size * jnp.round(d / box_size)
+    d2 = jnp.sum(d * d, axis=-1)
+    d2 = jnp.where(cand_idx[None, :] >= 0, d2, big)
+    best = jnp.argmin(d2, axis=1)
+    best_idx = cand_idx[best].reshape((n_grid,) * 3)
+    best_pos = cand_pos[best].reshape((n_grid,) * 3 + (3,))
+    best_d2 = jnp.take_along_axis(d2, best[:, None], axis=1)[:, 0].reshape(
+        (n_grid,) * 3
+    )
+    return best_idx, best_pos, best_d2
+
+
+def _pool_seeds(seed_idx, seed_pos, coarse_dist2, n_seeds, big):
+    """Min-pool seed candidates over 2x2x2 blocks, re-scored against the
+    COARSE cell centers, keeping the ``n_seeds`` best per coarse cell."""
+    k = seed_idx.shape[0]
+    n = seed_idx.shape[1]
+    m = n // 2
+    si = seed_idx.reshape(k, m, 2, m, 2, m, 2).transpose(0, 2, 4, 6, 1, 3, 5)
+    sp = seed_pos.reshape(k, m, 2, m, 2, m, 2, 3).transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    si = si.reshape(8 * k, m, m, m)
+    sp = sp.reshape(8 * k, m, m, m, 3)
+    sd = jnp.where(si >= 0, jax.vmap(coarse_dist2)(sp), big)
+    # keep the n_seeds best (lowest coarse d2) of the 8k children
+    order = jnp.argsort(sd, axis=0)[:n_seeds]
+    return (
+        jnp.take_along_axis(si, order, axis=0),
+        jnp.take_along_axis(sp, order[..., None], axis=0),
+    )
+
+
+def _upsample(state):
+    bi, bp, bd = state
+
+    def up(x):
+        for ax in (0, 1, 2):
+            x = jnp.repeat(x, 2, axis=ax)
+        return x
+
+    return up(bi), up(bp)
+
+
+def _ring_refine(
+    pos: jax.Array,
+    n_grid: int,
+    box_size: float,
+    periodic: bool,
+    radius: int,
+    best_idx: jax.Array,
+    best_d2: jax.Array,
+):
+    """Exact particle-major correction: every particle scatter-mins its
+    distance into all cells within ``radius`` rings of its own cell, then
+    winners are resolved by a second scatter (lowest index on ties —
+    deterministic).  Particle-major means per-cell occupancy never
+    matters, unlike any candidate-list scheme."""
+    n_cells = n_grid**3
+    dtype = pos.dtype
+    cell = box_size / n_grid
+    ijk = jnp.floor(pos / cell).astype(jnp.int32) % n_grid
+    pidx = jnp.arange(pos.shape[0], dtype=jnp.int32)
+
+    offsets = np.asarray(
+        [
+            (dx, dy, dz)
+            for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)
+            for dz in range(-radius, radius + 1)
+        ],
+        np.int32,
+    )
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    def target_and_d2(off):
+        tgt = ijk + off[None, :]
+        center = (tgt.astype(dtype) + 0.5) * cell
+        delta = pos - center
+        if periodic:
+            tgt_ids = tgt % n_grid
+            delta = delta - box_size * jnp.round(delta / box_size)
+            flat = (tgt_ids[:, 0] * n_grid + tgt_ids[:, 1]) * n_grid + tgt_ids[:, 2]
+        else:
+            inside = jnp.all((tgt >= 0) & (tgt < n_grid), axis=1)
+            flat = (tgt[:, 0] * n_grid + tgt[:, 1]) * n_grid + tgt[:, 2]
+            flat = jnp.where(inside, flat, n_cells)  # dropped
+        return flat, jnp.sum(delta * delta, axis=1)
+
+    def scatter_d2(d2min, off):
+        flat, d2 = target_and_d2(off)
+        return d2min.at[flat].min(d2, mode="drop"), None
+
+    d2min = jnp.full((n_cells,), big, dtype)
+    d2min, _ = jax.lax.scan(scatter_d2, d2min, jnp.asarray(offsets))
+
+    def scatter_idx(idxmin, off):
+        flat, d2 = target_and_d2(off)
+        win = d2 <= d2min[jnp.clip(flat, 0, n_cells - 1)]
+        tgt = jnp.where(win, flat, n_cells)
+        return idxmin.at[tgt].min(pidx, mode="drop"), None
+
+    idxmin = jnp.full((n_cells,), np.iinfo(np.int32).max, jnp.int32)
+    idxmin, _ = jax.lax.scan(scatter_idx, idxmin, jnp.asarray(offsets))
+
+    d2min = d2min.reshape((n_grid,) * 3)
+    idxmin = idxmin.reshape((n_grid,) * 3)
+    take = d2min < best_d2
+    return (
+        jnp.where(take, idxmin, best_idx),
+        jnp.where(take, d2min, best_d2),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_grid", "periodic", "n_seeds", "rounds", "refine_radius"),
+)
+def nn_assign(
+    pos: jax.Array,
+    n_grid: int,
+    box_size: float,
+    periodic: bool = True,
+    n_seeds: int = 2,
+    rounds: int = 1,
+    refine_radius: int = 0,
+) -> jax.Array:
+    """(N, N, N) int32 grid: index of the particle nearest to each cell
+    center — the answer the reference obtained from ``pyann.nn2(k=1)``
+    (``interp.py:1027-1034``) / ``Annoy.get_nns_by_vector(n=1)``
+    (``parallel_optimized.py:348``).
+
+    ``periodic`` selects the distance metric: minimum-image (True) or
+    open-box (False, the reference ANN behavior).  With
+    ``periodic=False`` wrapped flood candidates simply lose on distance,
+    so no masking is needed.
+
+    ``refine_radius > 0`` adds the particle-major exact correction
+    (see :func:`_ring_refine`) — exact whenever the true NN lies within
+    that many cells of the query, at the cost of XLA scatters.
+    """
+    dtype = pos.dtype
+    pos = pos % box_size
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    # Per-level seed pyramid: fine seeds from one sort, coarser seeds by
+    # 2x min-pooling re-scored against coarse cell centers.
+    levels = [n_grid]
+    while levels[-1] > _COARSEST and levels[-1] % 2 == 0:
+        levels.append(levels[-1] // 2)
+
+    seed_idx, seed_pos = _seed_grids(pos, n_grid, box_size, n_seeds)
+    dist2_at = {n: _make_dist2(n, box_size, periodic, dtype) for n in levels}
+    seeds = {n_grid: (seed_idx, seed_pos)}
+    for n in levels[1:]:
+        si, sp = seeds[n * 2]
+        seeds[n] = _pool_seeds(si, sp, dist2_at[n], n_seeds, big)
+
+    # Coarsest level: exact dense NN against all coarsest seeds.
+    n0 = levels[-1]
+    si, sp = seeds[n0]
+    state = _coarsest_exact(si, sp, n0, box_size, periodic, big)
+
+    # Descend: upsample, merge level seeds, repair sweeps with per-rank
+    # seed fields as direct neighbor candidates.
+    for n in reversed(levels[:-1]):
+        bi, bp = _upsample(state)
+        bd = jnp.where(bi >= 0, dist2_at[n](bp), big)
+        state = (bi, bp, bd)
+        si, sp = seeds.pop(n)
+        for k in range(si.shape[0]):
+            sd_k = jnp.where(si[k] >= 0, dist2_at[n](sp[k]), big)
+            state = _merge(state, si[k], sp[k], sd_k)
+        state = _sweep(state, dist2_at[n], big, _level_shifts(rounds), (si, sp))
+
+    best_idx, _, best_d2 = state
+    if refine_radius > 0:
+        best_idx, best_d2 = _ring_refine(
+            pos, n_grid, box_size, periodic, refine_radius, best_idx, best_d2
+        )
+    return best_idx
+
+
+def nn_brute_force(
+    pos: jax.Array, n_grid: int, box_size: float, periodic: bool = True
+) -> jax.Array:
+    """Exact O(N^3 * Np) reference (tests only) — the ground truth the
+    reference got from exact ANN with eps=0 (``interp.py:246-277``)."""
+    cell = box_size / n_grid
+    axis = (jnp.arange(n_grid, dtype=pos.dtype) + 0.5) * cell
+    xx, yy, zz = jnp.meshgrid(axis, axis, axis, indexing="ij")
+    centers = jnp.stack([xx.ravel(), yy.ravel(), zz.ravel()], axis=1)
+
+    def one(c):
+        d = c[None, :] - pos
+        if periodic:
+            d = d - box_size * jnp.round(d / box_size)
+        return jnp.argmin(jnp.sum(d * d, axis=1)).astype(jnp.int32)
+
+    return jax.lax.map(one, centers).reshape((n_grid,) * 3)
+
+
+def nn_interp_to_field(
+    particles: Particles,
+    n_grid: int,
+    periodic: bool = True,
+    exact: bool = False,
+) -> BoxField:
+    """NN-interpolate ``[rho*v, rho]`` onto the grid and form a BoxField.
+
+    Reference semantics (``GasParticles.ann_interp_to_field``,
+    ``interp.py:246-277``): gather the nearest particle's
+    density-velocity vector per cell, then ``v = (rho v) / rho`` and
+    ``mass = rho * Lcell^3``.
+
+    ``exact=True`` adds the particle-major radius-2 refinement, matching
+    the reference library's exact-ANN behavior (eps=0); the default fast
+    mode has a measured <~1e-3 sub-cell-bounded misassignment rate —
+    still far more accurate than the reference's production Annoy
+    single-tree path.
+    """
+    idx = nn_assign(
+        particles.pos, n_grid, particles.box_size,
+        periodic=periodic,
+        refine_radius=2 if exact else 0,
+    )
+    vec = particles.density_velocity_vector()
+    grid = vec[idx]  # (N, N, N, 4) gather
+    rho = grid[..., 3]
+    safe = jnp.where(rho > 0, rho, 1.0)
+    v_grid = jnp.where(rho[..., None] > 0, grid[..., :3] / safe[..., None], 0.0)
+    cell = particles.box_size / n_grid
+    return BoxField(velocity=v_grid, mass=rho * cell**3, cell_size=cell)

@@ -1,3 +1,4 @@
+from .bricks import BrickStore
 from .snapshot import load_snapshot, save_snapshot, init_dir
 from .synthetic import (
     gaussian_random_field,
@@ -7,7 +8,7 @@ from .synthetic import (
 )
 
 __all__ = [
-    "load_snapshot", "save_snapshot", "init_dir",
+    "BrickStore", "load_snapshot", "save_snapshot", "init_dir",
     "gaussian_random_field", "grid_positions",
     "particles_from_field", "synthetic_particles",
 ]

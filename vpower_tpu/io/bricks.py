@@ -1,0 +1,234 @@
+"""Out-of-core brick decomposition: fields too large for one device,
+streamed from disk brick by brick.
+
+Equivalent of the reference's ``BrickInventory`` (``vpower/interp.py:
+818-962``): an nbrick^3 array of Nbrick^3 sub-fields on disk, plus the
+streaming fold that combines them into one (Ntot/m)^3 folded field.
+On TPU the preferred path is the sharded mesh pipeline (the pod's HBM
+*is* the brick inventory — SURVEY.md §7), but the disk path remains for
+single-chip runs beyond HBM.
+
+Fixes vs the reference (SURVEY.md §7 "bugs to NOT replicate"):
+* ``GasParticles.interp_to_brick`` called a method that no longer
+  existed (``interp.py:404``); :meth:`BrickStore.from_particles`
+  implements the intended behavior — select particles with a +-margin,
+  NN-interpolate one padded brick, trim, save.
+* bricks are ``.npz`` files with a JSON manifest instead of pickles.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core.field import BoxField, FoldedField
+from ..core.particles import Particles
+from ..spectrum.fold import apply_phase, fold_field, get_phase
+
+__all__ = ["BrickStore"]
+
+
+def _brick_path(d: str, r: int, s: int, t: int) -> str:
+    # filename scheme mirrors the reference's brick_field_loc{r}{s}{t}.npy
+    # (interp.py:858-864) with multi-digit-safe separators
+    return os.path.join(d, f"brick_field_loc{r}_{s}_{t}.npz")
+
+
+@dataclasses.dataclass
+class BrickStore:
+    """nbrick^3 bricks of n_brick^3 cells each on disk."""
+
+    directory: str
+    nbrick: int
+    n_brick: int
+    brick_size: float  # box length of one brick
+
+    @property
+    def total_n(self) -> int:
+        return self.nbrick * self.n_brick
+
+    @property
+    def total_box(self) -> float:
+        return self.nbrick * self.brick_size
+
+    # ------------------------------------------------------------------ #
+    # construction                                                       #
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def from_particles(
+        cls,
+        directory: str,
+        particles: Particles,
+        nbrick: int,
+        n_brick: int,
+        method: str = "nn",
+        margin_cells: int = 4,
+        **deposit_kwargs,
+    ) -> "BrickStore":
+        """Interpolate particles brick by brick (the repaired
+        ``interp_to_brick``, reference ``interp.py:344-421``): per brick,
+        select particles within a +-h margin (``interp.py:389-396``),
+        shift to the padded brick origin (``interp.py:400-402``),
+        interpolate the padded grid, trim the margin, save."""
+        from ..run.pipeline import deposit as deposit_dispatch
+
+        os.makedirs(directory, exist_ok=True)
+        brick_size = particles.box_size / nbrick
+        cell = brick_size / n_brick
+        margin = margin_cells * cell
+        n_padded = n_brick + 2 * margin_cells
+
+        pos = np.asarray(particles.pos)
+        h = np.asarray(particles.smoothing_length())
+        store = cls(directory, nbrick, n_brick, brick_size)
+        for r in range(nbrick):
+            for s in range(nbrick):
+                for t in range(nbrick):
+                    lo = np.array([r, s, t]) * brick_size - margin
+                    hi = lo + brick_size + 2 * margin
+                    sel = np.all((pos + h[:, None] >= lo) &
+                                 (pos - h[:, None] < hi), axis=1)
+                    sub = particles[np.where(sel)[0]]
+                    sub = Particles(
+                        pos=sub.pos - jnp.asarray(lo, sub.pos.dtype),
+                        mass=sub.mass,
+                        density=sub.density,
+                        vel=sub.vel,
+                        box_size=float(brick_size + 2 * margin),
+                    )
+                    field = deposit_dispatch(
+                        sub, n_padded, method=method,
+                        **({"periodic": False} if method in ("nn", "sph")
+                           else {}),
+                        **deposit_kwargs,
+                    )
+                    field = field.trim(margin_cells, n_brick)
+                    store.save_brick(r, s, t, field)
+        store.save()
+        return store
+
+    # ------------------------------------------------------------------ #
+    # persistence                                                        #
+    # ------------------------------------------------------------------ #
+    def save_brick(self, r: int, s: int, t: int, field: BoxField) -> None:
+        np.savez(
+            _brick_path(self.directory, r, s, t),
+            velocity=np.asarray(field.velocity),
+            mass=np.asarray(field.mass),
+        )
+
+    def __getitem__(self, loc: Tuple[int, int, int]) -> BoxField:
+        """Lazy brick load (reference ``interp.py:867-879``)."""
+        r, s, t = loc
+        with np.load(_brick_path(self.directory, r, s, t)) as z:
+            return BoxField(
+                velocity=jnp.asarray(z["velocity"]),
+                mass=jnp.asarray(z["mass"]),
+                cell_size=self.brick_size / self.n_brick,
+            )
+
+    def save(self) -> None:
+        with open(os.path.join(self.directory, "brick_decomp.json"), "w") as f:
+            json.dump(
+                {
+                    "nbrick": self.nbrick,
+                    "n_brick": self.n_brick,
+                    "brick_size": self.brick_size,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, directory: str) -> "BrickStore":
+        with open(os.path.join(directory, "brick_decomp.json")) as f:
+            meta = json.load(f)
+        return cls(directory, meta["nbrick"], meta["n_brick"],
+                   meta["brick_size"])
+
+    # ------------------------------------------------------------------ #
+    # streaming fold                                                     #
+    # ------------------------------------------------------------------ #
+    def fold(
+        self,
+        m: int,
+        beta: Sequence[int],
+        quantity: str = "velocity",
+        n_result: Optional[int] = None,
+    ) -> FoldedField:
+        """Stream bricks from disk into one folded (n_result)^3 field.
+
+        Reference ``BrickInventory.fold`` (``interp.py:882-946``):
+        *fold-stitch* when ``m >= nbrick`` (each brick folds internally
+        by ``m / nbrick`` and accumulates) vs *stitch-fold* when
+        ``m < nbrick`` (each phased brick lands in its mosaic slot);
+        mass-weighted down-sampling when ``n_result < total_n / m``;
+        final ``m^-1.5`` normalization (``interp.py:944``).
+        """
+        beta = tuple(int(b) for b in beta)
+        if n_result is None:
+            n_result = self.total_n // m
+            n_down = 1
+        else:
+            n_down = (self.total_n // m) // n_result
+            if n_down == 0:
+                raise ValueError(
+                    "The folded size total_n/m must be a multiple of n_result."
+                )
+
+        n_channels = 3 if quantity in ("velocity", "momentum") else 1
+        shape = (n_result, n_result, n_result)
+        acc = jnp.zeros(
+            shape + ((3,) if n_channels == 3 else ()), jnp.complex64
+        )
+        total_n_eff = self.total_n // n_down
+
+        for r in range(self.nbrick):
+            for s in range(self.nbrick):
+                for t in range(self.nbrick):
+                    brick = self[r, s, t]
+                    if n_down > 1:
+                        brick = brick.down_sample(n_down)
+                    nb = brick.n_grid
+                    if quantity == "velocity":
+                        data = brick.velocity
+                    elif quantity == "momentum":
+                        data = brick.momentum()
+                    elif quantity == "energy":
+                        data = brick.kinetic_energy()
+                    else:
+                        raise ValueError(f"Unsupported quantity {quantity!r}")
+                    phase = get_phase(
+                        beta,
+                        total_n=total_n_eff,
+                        n_local=nb,
+                        offset=(r * nb, s * nb, t * nb),
+                    )
+                    phased = apply_phase(data.astype(jnp.complex64), phase)
+                    if m >= self.nbrick:
+                        # fold-stitch: brick folds internally
+                        assert m % self.nbrick == 0, \
+                            "m must be a multiple of nbrick for fold-stitch"
+                        acc = acc + fold_field(phased, m // self.nbrick)
+                    else:
+                        # stitch-fold: phased brick lands in its mosaic slot
+                        u = self.nbrick // m
+                        w = n_result // u
+                        acc = acc.at[
+                            (r % u) * w:(r % u + 1) * w,
+                            (s % u) * w:(s % u + 1) * w,
+                            (t % u) * w:(t % u + 1) * w,
+                        ].add(phased)
+
+        acc = acc / m**1.5
+        return FoldedField(
+            field=acc,
+            fold_factor=m,
+            beta=beta,
+            box_size=self.total_box / m,
+            total_box_size=self.total_box,
+        )

@@ -2,12 +2,13 @@ from .pipeline import (
     deposit,
     power_spectrum,
     spectrum_from_field,
+    spectrum_from_folded,
     folded_spectrum,
     folded_spectrum_sweep,
     fused_fold_spectrum,
 )
 
 __all__ = [
-    "deposit", "power_spectrum", "spectrum_from_field",
+    "deposit", "power_spectrum", "spectrum_from_field", "spectrum_from_folded",
     "folded_spectrum", "folded_spectrum_sweep", "fused_fold_spectrum",
 ]

@@ -1,0 +1,168 @@
+"""Command-line pipeline: snapshot -> P(k), single- or multi-chip.
+
+The TPU-native successor of the reference's canonical entry point
+(``mpiexec -n T python parallel_optimized.py -i snap -o out -N 1000
+-M 500 -b 5000 -f``, ``scripts/parallel_optimized.py:42-61`` and
+``README.md:28-31``).  Flag names kept compatible where they still make
+sense; ``-b/--nbuffer`` (the MPI query-buffer size) has no analog —
+there is no query loop to buffer.
+
+Differences by design:
+* the planner output is printed and (without ``-f``) confirmed, exactly
+  like the reference (``parallel_optimized.py:238-245``);
+* per-beta sub-spectra are accumulated incrementally into ``Pk.txt``
+  after every beta, so an interrupted run resumes by re-running with
+  the same output directory (the reference's resume mechanism,
+  ``parallel_optimized.py:470-487``), with completed betas recorded in
+  ``betas_done.txt``;
+* one process drives all chips — no mpiexec.
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+
+import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(f"[{datetime.datetime.now()}] {msg}", flush=True)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vpower-tpu",
+        description="Compute velocity/momentum/energy power spectra from "
+        "an HDF5 snapshot on TPU. The program makes a plan and asks for "
+        "permission before starting the computation.",
+        usage="python -m vpower_tpu.run.cli [options]",
+    )
+    p.add_argument("-i", "--input", type=str, required=True,
+                   help="Path to the snapshot file (HDF5, PartType0).")
+    p.add_argument("-o", "--output", type=str, required=True,
+                   help="Directory to save the power spectrum.")
+    p.add_argument("-N", "--ntot", type=int, default=1000,
+                   help="Total resolution (dynamic range NTOT).")
+    p.add_argument("-M", "--maxngrid", type=int, default=None,
+                   help="Maximum deposited grid size; the planner picks "
+                   "the fold factor (reference MAXNBOX).")
+    p.add_argument("-l", "--ltot", type=float, default=1.0,
+                   help="Total box length.")
+    p.add_argument("-f", action="store_true",
+                   help="Skip confirmation and start the computation.")
+    p.add_argument("--method", type=str, default="ngp",
+                   choices=["ngp", "cic", "nn", "sph"],
+                   help="Deposition method (nn/sph are single-chip).")
+    p.add_argument("--quantity", type=str, default="momentum",
+                   choices=["velocity", "momentum", "energy"],
+                   help="Field whose spectrum is computed. Folded runs "
+                   "(fold > 1) require momentum.")
+    p.add_argument("--betas", type=int, default=None,
+                   help="Compute only this many (random) beta offsets "
+                   "instead of the full m^3 sweep.")
+    p.add_argument("--seed", type=int, default=1,
+                   help="Seed for the random beta subsequence.")
+    p.add_argument("--single-chip", action="store_true",
+                   help="Force the single-device pipeline.")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from ..io.snapshot import load_snapshot
+    from ..parallel import make_mesh, plan_run
+    from ..spectrum.spectrum import (
+        PowerSpectrum, init_beta_space, random_beta_sequence,
+    )
+
+    assert os.path.isdir(args.output), "Output directory does not exist."
+    assert os.path.isfile(args.input), "Snapshot file does not exist."
+    outputfile = os.path.join(args.output, "Pk.txt")
+    done_file = os.path.join(args.output, "betas_done.txt")
+
+    devices = jax.devices()
+    n_devices = 1 if args.single_chip else len(devices)
+    plan = plan_run(
+        n_total=args.ntot,
+        n_devices=n_devices,
+        max_n_grid=args.maxngrid,
+        beta_subsample=args.betas,
+    )
+    _log(plan.describe())
+    if not args.f:
+        print("Accept plan? (y/n)", flush=True)
+        if input() != "y":
+            print("Plan rejected. Exiting.", flush=True)
+            return 1
+    _log("Plan confirmed. Starting computation.")
+    _log(f"Snapshot: {args.input}")
+    _log(f"Output file: {outputfile}")
+
+    particles = load_snapshot(args.input, box_size=args.ltot)
+    _log(f"Loaded snapshot: {len(particles)} particles")
+
+    if plan.fold_m == 1:
+        betas = [None]
+    elif args.betas is not None:
+        betas = random_beta_sequence(plan.fold_m, seed=args.seed)[: args.betas]
+    else:
+        betas = init_beta_space(plan.fold_m)
+
+    done = set()
+    if os.path.isfile(done_file):
+        with open(done_file) as fh:
+            done = {tuple(map(int, line.split())) for line in fh if line.strip()}
+        _log(f"Resuming: {len(done)} betas already accumulated in {outputfile}")
+
+    mesh = None
+    if n_devices > 1 and args.method in ("ngp", "cic"):
+        mesh = make_mesh(n_devices, shape=plan.mesh_shape)
+
+    for i, beta in enumerate(betas):
+        beta_t = (0, 0, 0) if beta is None else tuple(int(b) for b in beta)
+        if beta_t in done:
+            continue
+        spectrum = _one_beta(particles, plan, args, mesh, beta)
+        spectrum.accumulate_txt(outputfile)
+        with open(done_file, "a") as fh:
+            fh.write("{} {} {}\n".format(*beta_t))
+        _log(f"[{i + 1}/{len(betas)}] beta={beta_t} accumulated -> {outputfile}")
+
+    _log("Done.")
+    return 0
+
+
+def _one_beta(particles, plan, args, mesh, beta):
+    from ..parallel import distributed_spectrum
+    from ..run.pipeline import (
+        deposit, folded_spectrum, fused_fold_spectrum, power_spectrum,
+        spectrum_from_field,
+    )
+
+    if mesh is not None:
+        fold = None if beta is None else (plan.fold_m, beta)
+        return distributed_spectrum(
+            particles, plan.n_grid, mesh, method=args.method,
+            quantity=args.quantity, fold=fold,
+        )
+    if beta is None:
+        return power_spectrum(
+            particles, plan.n_grid, method=args.method, quantity=args.quantity
+        )
+    if args.method in ("ngp", "cic") and args.quantity == "momentum":
+        return fused_fold_spectrum(
+            particles, plan.n_grid, m=plan.fold_m, beta=beta
+        )
+    # gather-type deposition: fold the gridded field
+    field = deposit(particles, plan.n_grid * plan.fold_m, method=args.method)
+    return folded_spectrum(field, m=plan.fold_m, beta=beta,
+                           quantity=args.quantity)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -163,6 +163,33 @@ def power_spectrum(
 # ---------------------------------------------------------------------- #
 # folded spectra                                                         #
 # ---------------------------------------------------------------------- #
+def spectrum_from_folded(folded: FoldedField) -> PowerSpectrum:
+    """Sub-spectrum of an already-folded complex field (reference
+    ``FoldedBox.fold_spctrm``, ``interp.py:755-791``): FFT power ->
+    binning on the global lattice with the ``+2 pi beta / Ltot``
+    k-shift -> ESD weighting."""
+    f = folded.field
+    if f.ndim == 4:
+        p_grid = power_mod.vector_power_from_complex(f, folded.box_size)
+    else:
+        p_grid = power_mod.scalar_power_from_complex(f, folded.box_size)
+    total_box = folded.total_box_size
+    beta = folded.beta
+    kshift = tuple(2.0 * np.pi * b / total_box for b in beta)
+    k, psum, nsample = power_mod.shell_bin(
+        p_grid,
+        folded.box_size,
+        kmin=2.0 * np.pi / total_box,
+        kmax=float(np.pi / folded.cell_size),
+        spacing=2.0 * np.pi / total_box,
+        kshift=kshift,
+    )
+    return PowerSpectrum.from_binned(
+        np.asarray(k), np.asarray(psum), np.asarray(nsample),
+        m=folded.fold_factor, beta=beta,
+    )
+
+
 @partial(jax.jit, static_argnames=("quantity", "m", "beta", "kmax_total"))
 def _folded_spectrum_device(
     field: BoxField,

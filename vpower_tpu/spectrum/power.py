@@ -170,6 +170,84 @@ def bin_grid(
     return jnp.where((idx >= 0) & (idx < n_bins), idx, n_bins)
 
 
+def bin_grid_local(
+    local_shape: Sequence[int],
+    n_full: int,
+    box_size: float,
+    kmin: float,
+    spacing: float,
+    n_bins: int,
+    starts,
+    kshift: Sequence[float] = (0.0, 0.0, 0.0),
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Shell-bin indices for a LOCAL block of a distributed power grid.
+
+    ``starts`` is the (3,) global index offset of this device's block
+    (traced values from ``jax.lax.axis_index`` inside ``shard_map``);
+    the |k| lattice is the full-grid one sliced to the block, so every
+    device bins onto the same global bin set and the results can simply
+    be ``psum``-ed — the TPU replacement for the reference's
+    ``comm.Reduce`` spectrum combine (``parallel_optimized.py:455-456``).
+    """
+    ks = _axis_freqs(n_full, box_size, dtype)
+
+    def ax(i):
+        return jax.lax.dynamic_slice(ks, (starts[i],), (local_shape[i],)) + (
+            jnp.asarray(kshift[i], dtype)
+        )
+
+    kx, ky, kz = ax(0), ax(1), ax(2)
+    k = jnp.sqrt(
+        (kx**2)[:, None, None]
+        + (ky**2)[None, :, None]
+        + (kz**2)[None, None, :]
+    )
+    idx = jnp.floor((k - (kmin - spacing / 2.0)) / spacing).astype(jnp.int32)
+    return jnp.where((idx >= 0) & (idx < n_bins), idx, n_bins)
+
+
+def _cascade_bin(power: jax.Array, bins: jax.Array, n_bins: int):
+    """Two-level accumulation cascade shared by local and global binning."""
+    n0 = power.shape[0]
+    flat_bins = bins.reshape(n0, -1)
+    flat_power = power.reshape(n0, -1)
+
+    def slice_sums(p_row, b_row):
+        psum = jax.ops.segment_sum(p_row, b_row, num_segments=n_bins + 1)
+        nsamp = jax.ops.segment_sum(
+            jnp.ones_like(p_row), b_row, num_segments=n_bins + 1
+        )
+        return psum[:n_bins], nsamp[:n_bins]
+
+    psums, nsamps = jax.vmap(slice_sums)(flat_power, flat_bins)
+    return jnp.sum(psums, axis=0), jnp.sum(nsamps, axis=0)
+
+
+def shell_bin_local(
+    power_local: jax.Array,
+    n_full: int,
+    box_size: float,
+    starts,
+    kmin: Optional[float] = None,
+    kmax: Optional[float] = None,
+    spacing: Optional[float] = None,
+    kshift: Sequence[float] = (0.0, 0.0, 0.0),
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Bin a local block; caller ``psum``s the results over the mesh."""
+    cell_size = box_size / n_full
+    kmin, kmax, spacing, n_bins = default_k_bins(
+        box_size, cell_size, kmin, kmax, spacing
+    )
+    bins = bin_grid_local(
+        power_local.shape, n_full, box_size, kmin, spacing, n_bins,
+        starts, kshift, dtype=power_local.dtype,
+    )
+    psum, nsample = _cascade_bin(power_local, bins, n_bins)
+    k_centers = kmin + spacing * jnp.arange(n_bins, dtype=power_local.dtype)
+    return k_centers, psum, nsample
+
+
 def shell_bin(
     power: jax.Array,
     box_size: float,
@@ -199,20 +277,6 @@ def shell_bin(
     bins = bin_grid(
         n_grid, box_size, kmin, spacing, n_bins, kshift, dtype=power.dtype
     )
-
-    flat_bins = bins.reshape(n_grid, -1)
-    flat_power = power.reshape(n_grid, -1)
-
-    def slice_sums(p_row, b_row):
-        psum = jax.ops.segment_sum(p_row, b_row, num_segments=n_bins + 1)
-        nsamp = jax.ops.segment_sum(
-            jnp.ones_like(p_row), b_row, num_segments=n_bins + 1
-        )
-        return psum[:n_bins], nsamp[:n_bins]
-
-    psums, nsamps = jax.vmap(slice_sums)(flat_power, flat_bins)
-    # Cross-slice reduction: N partial sums per bin (tree-reduced by XLA).
-    psum = jnp.sum(psums, axis=0)
-    nsample = jnp.sum(nsamps, axis=0)
+    psum, nsample = _cascade_bin(power, bins, n_bins)
     k_centers = kmin + spacing * jnp.arange(n_bins, dtype=power.dtype)
     return k_centers, psum, nsample
