@@ -1,0 +1,119 @@
+"""Cross-spectra, interlacing, window compensation, checkpoints,
+plotting smoke tests (SURVEY.md §7 build step 6 extras)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vpower_tpu import (
+    BoxField,
+    deposit,
+    power_spectrum,
+    spectrum_from_field,
+    synthetic_particles,
+)
+from vpower_tpu.io import load_field, load_folded, save_field, save_folded
+from vpower_tpu.run.pipeline import cross_spectrum
+from vpower_tpu.spectrum import fold as fold_mod
+from vpower_tpu.spectrum.power import (
+    cross_power,
+    interlaced_vector_power,
+    vector_power,
+    window_compensation,
+)
+
+
+def _toy_field(key, n, box=1.0, dtype=jnp.float64):
+    kv, km = jax.random.split(key)
+    return BoxField(
+        velocity=jax.random.normal(kv, (n, n, n, 3), dtype),
+        mass=jax.random.uniform(km, (n, n, n), dtype) + 0.5,
+        cell_size=box / n,
+    )
+
+
+def test_cross_power_reduces_to_auto():
+    f = _toy_field(jax.random.PRNGKey(0), 16)
+    auto = np.asarray(vector_power(f.velocity, f.box_size))
+    cross = np.asarray(cross_power(f.velocity, f.velocity, f.box_size))
+    np.testing.assert_allclose(cross, auto, rtol=1e-10)
+
+
+def test_cross_spectrum_symmetry_and_bound():
+    fa = _toy_field(jax.random.PRNGKey(1), 16)
+    fb = _toy_field(jax.random.PRNGKey(2), 16)
+    sab = cross_spectrum(fa, fb)
+    sba = cross_spectrum(fb, fa)
+    np.testing.assert_allclose(sab.Psum, sba.Psum, rtol=1e-10)
+    # Cauchy-Schwarz per-grid: |P_ab| <= sqrt(P_aa P_bb) holds binned only
+    # approximately; check the auto case is recovered and magnitudes sane
+    saa = cross_spectrum(fa, fa)
+    s_ref = spectrum_from_field(fa)
+    np.testing.assert_allclose(saa.Psum, s_ref.Psum, rtol=1e-8)
+
+
+def test_interlacing_identity_for_bandlimited_field():
+    """For a field whose power lives far below Nyquist, interlacing must
+    not change the spectrum (it only affects aliased images)."""
+    n, box = 32, 1.0
+    x = (jnp.arange(n)) / n * box
+    k0 = 2 * jnp.pi * 3 / box
+    vx = jnp.sin(k0 * x)[:, None, None] * jnp.ones((1, n, n))
+    v = jnp.stack([vx, 0 * vx, 0 * vx], axis=-1).astype(jnp.float64)
+    # same field deposited at shifted positions == sampled at x + cell/2
+    xs = x + box / n / 2
+    vxs = jnp.sin(k0 * xs)[:, None, None] * jnp.ones((1, n, n))
+    vs = jnp.stack([vxs, 0 * vxs, 0 * vxs], axis=-1).astype(jnp.float64)
+    p_plain = np.asarray(vector_power(v, box))
+    p_inter = np.asarray(interlaced_vector_power(v, vs, box))
+    hot = np.unravel_index(np.argmax(p_plain), p_plain.shape)
+    np.testing.assert_allclose(p_inter[hot], p_plain[hot], rtol=1e-10)
+    np.testing.assert_allclose(p_inter.sum(), p_plain.sum(), rtol=1e-8)
+
+
+def test_power_spectrum_interlace_and_compensate_run():
+    p = synthetic_particles(jax.random.PRNGKey(3), 16, jitter=0.4)
+    s0 = power_spectrum(p, 16, method="cic")
+    s1 = power_spectrum(p, 16, method="cic", interlace=True, compensate=True)
+    assert len(s1) == len(s0)
+    # compensation boosts high-k power (window suppresses it)
+    assert s1.Psum[-1] > s0.Psum[-1]
+
+
+def test_window_compensation_values():
+    w = np.asarray(window_compensation(8, 2, dtype=jnp.float64))
+    assert w[0, 0, 0] == 1.0  # no correction at k=0
+    # at Nyquist (n=N/2): sinc(pi/2) = 2/pi, W = (2/pi)^2, 1/W^2 = (pi/2)^4
+    np.testing.assert_allclose(w[4, 0, 0], (np.pi / 2) ** 4, rtol=1e-12)
+
+
+def test_field_checkpoint_roundtrip(tmp_path):
+    f = _toy_field(jax.random.PRNGKey(4), 8, dtype=jnp.float32)
+    save_field(str(tmp_path / "field"), f)
+    f2 = load_field(str(tmp_path / "field"))
+    np.testing.assert_allclose(np.asarray(f2.velocity), np.asarray(f.velocity))
+    assert f2.cell_size == f.cell_size
+
+
+def test_folded_checkpoint_roundtrip(tmp_path):
+    f = _toy_field(jax.random.PRNGKey(5), 8, dtype=jnp.float32)
+    folded = fold_mod.fold_box_field(f, 2, (1, 0, 1))
+    save_folded(str(tmp_path), folded)
+    f2 = load_folded(str(tmp_path), (1, 0, 1))
+    np.testing.assert_allclose(np.asarray(f2.field), np.asarray(folded.field))
+    assert f2.fold_factor == 2 and f2.beta == (1, 0, 1)
+    assert f2.total_box_size == folded.total_box_size
+
+
+def test_plotting_smoke(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from vpower_tpu.utils import peek_field, peek_spectrum
+
+    p = synthetic_particles(jax.random.PRNGKey(6), 8, jitter=0.2)
+    field = deposit(p, 8, method="cic")
+    peek_field(field, save_to=str(tmp_path / "field.png"))
+    s = spectrum_from_field(field)
+    peek_spectrum(s, save_to=str(tmp_path / "spec.png"))
+    assert (tmp_path / "field.png").exists()
+    assert (tmp_path / "spec.png").exists()

@@ -1,0 +1,102 @@
+"""Pallas sweep kernel vs the XLA scan sweep (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vpower_tpu.deposit import nn as nnmod
+from vpower_tpu.deposit.nn_pallas import sweep_tiles
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_sweep_kernel_matches_xla_sweep(periodic):
+    """One kernel invocation == non-chained stride-2+1 compare set.
+    Verify against a direct numpy evaluation of the same candidate set."""
+    key = jax.random.PRNGKey(0)
+    n, k, box = 16, 2, 1.0
+    pos = jax.random.uniform(key, (500, 3), jnp.float32)
+
+    si, sp = nnmod._seed_grids(pos % box, n, box, k)
+    dist2 = nnmod._make_dist2(n, box, periodic, jnp.float32)
+    big = jnp.float32(3.0e38)
+    # initial state: upsampled-from-nothing -> use rank-0 seeds as state
+    bi0, bp0 = si[0], sp[0]
+
+    out_i, out_p, out_d = sweep_tiles(
+        bi0, bp0, si, sp.reshape(k * 3, n, n, n), box,
+        periodic=periodic, tile=8, interpret=True,
+    )
+    out_i = np.asarray(out_i)
+    out_d = np.asarray(out_d)
+
+    # numpy reference: per cell, min over {state, seeds} x offsets
+    # (strides 2 and 1, full 3^3 including center for seeds)
+    sin = np.asarray(si)
+    spn = np.asarray(sp)
+    p = np.asarray(pos % box)
+    cell = box / n
+    axis = (np.arange(n) + 0.5) * cell
+    cx, cy, cz = np.meshgrid(axis, axis, axis, indexing="ij")
+    centers = np.stack([cx, cy, cz], axis=0)
+
+    def d2_of(posfield):
+        d = centers - posfield
+        if periodic:
+            d = d - box * np.round(d / box)
+        return np.sum(d * d, axis=0)
+
+    best_d = np.where(sin[0] >= 0, d2_of(spn[0]), 3.0e38)
+    best_i = sin[0].copy()
+    for s in (2, 1):
+        for dx in (-s, 0, s):
+            for dy in (-s, 0, s):
+                for dz in (-s, 0, s):
+                    fields = range(k) if (dx, dy, dz) == (0, 0, 0) \
+                        else [-1] + list(range(k))
+                    for f in fields:
+                        fi = sin[0] if f < 0 else sin[f]
+                        fp = spn[0] if f < 0 else spn[f]
+                        ci = np.roll(fi, (dx, dy, dz), axis=(0, 1, 2))
+                        cp = np.roll(fp, (dx, dy, dz), axis=(1, 2, 3))
+                        cd = np.where(ci >= 0, d2_of(cp), 3.0e38)
+                        take = cd < best_d
+                        best_i = np.where(take, ci, best_i)
+                        best_d = np.where(take, cd, best_d)
+
+    np.testing.assert_allclose(out_d, best_d, rtol=1e-5)
+    # indices may differ only on exact distance ties
+    diff = out_i != best_i
+    if diff.any():
+        np.testing.assert_allclose(out_d[diff], best_d[diff], rtol=1e-5)
+
+
+def test_nn_assign_pallas_path_matches_fallback():
+    """Full nn_assign with use_pallas (interpret via CPU not supported in
+    auto mode — force through both code paths at a small grid)."""
+    key = jax.random.PRNGKey(1)
+    pos = jax.random.uniform(key, (2000, 3), jnp.float32)
+    a = nnmod.nn_assign(pos, 32, 1.0, use_pallas=False)
+    # pallas path on CPU only works in interpret mode; monkeypatch through
+    from vpower_tpu.deposit import nn_pallas as kp
+    orig = kp.sweep_tiles
+    kp.sweep_tiles = lambda *args, **kw: orig(*args, **{**kw, "interpret": True})
+    try:
+        b = nnmod.nn_assign(pos, 32, 1.0, use_pallas=True)
+    finally:
+        kp.sweep_tiles = orig
+    an, bn = np.asarray(a), np.asarray(b)
+    # the two sweeps differ in chaining; compare by assignment quality
+    p = np.asarray(pos % 1.0)
+    cell = 1.0 / 32
+    axis = (np.arange(32) + 0.5) * cell
+    cx, cy, cz = np.meshgrid(axis, axis, axis, indexing="ij")
+    c = np.stack([cx, cy, cz], axis=-1)
+
+    def d2(idx):
+        d = c - p[idx]
+        d = d - np.round(d)
+        return np.sum(d * d, axis=-1)
+
+    da, db = d2(an), d2(bn)
+    worse = np.mean(db > da * (1 + 1e-5) + 1e-12)
+    assert worse < 2e-3, f"pallas path notably worse: {worse}"

@@ -6,17 +6,18 @@ the dominant hot loop of the whole reference pipeline (hours at N=1000,
 BASELINE.md).  Instead of N^3 pointer-chasing tree queries
 (``vpower/interp.py:1018-1049``, ``parallel_optimized.py:348``), we
 compute the discrete Voronoi diagram of the particle set on the grid
-with dense, statically-shaped XLA ops:
+with dense, statically-shaped ops:
 
 1. **Seed sort** — one ``lax.sort`` by (cell id, distance-to-center)
    yields the rank-k nearest-to-center particle of every cell; rank-k
    winners land in seed grids via conflict-free scatters.
 2. **Multigrid descent** — seeds are min-pooled up a 2x coarsening
-   pyramid; the coarsest level runs a full 26-neighborhood jump-flood;
-   each finer level upsamples the candidate field, merges that level's
-   seeds, and runs a few stride-1/stride-2 sweep rounds.  All neighbor
-   exchanges are static-shift ``jnp.roll`` — pure VPU/HBM streaming,
-   no scatter, no dynamic control flow.
+   pyramid; the coarsest level is solved exactly by a dense all-pairs
+   distance; each finer level upsamples the candidate field, merges
+   that level's seeds, and runs stride-2 + stride-1 neighborhood
+   sweeps.  On TPU the sweep is a fused Pallas kernel (one HBM pass,
+   halo tiles in VMEM — :mod:`vpower_tpu.deposit.nn_pallas`); elsewhere
+   a ``lax.scan`` of rolls.
 3. **Exact ring refinement** (``exact=True``) — a particle-major
    scatter-min over all cells within ``refine_radius`` rings of each
    particle's cell.  Occupancy-independent: it repairs the residual
@@ -24,11 +25,15 @@ with dense, statically-shaped XLA ops:
    cell out-ranked inside its own crowded cell).  Costs XLA scatters,
    so it is the opt-in exactness mode, not the default.
 
-Accuracy: fast mode measured <~1e-3 cell misassignments (each bounded
-by ~a cell diagonal); exact mode measured 0 against brute force on all
-tested configurations.  The reference's production path (Annoy with a
-single tree, ``parallel_optimized.py:310``) is far more approximate
-than even fast mode; its library path is exact ANN (eps=0,
+Positions are carried CHANNELS-FIRST ((3, N, N, N), and (k, 3, N, N, N)
+for seeds): a trailing length-3 axis forced into materialized layouts
+costs up to 40x its logical HBM size under the TPU (8, 128) tile.
+
+Accuracy: fast mode measures ~0-1e-3 cell misassignments (each bounded
+by ~a cell diagonal); exact mode measures 0-to-1e-5 against brute force
+across sparse-to-dense configurations.  The reference's production path
+(Annoy with a single tree, ``parallel_optimized.py:310``) is far more
+approximate than even fast mode; its library path is exact ANN (eps=0,
 ``interp.py:1027-1034``) — matched by exact mode (SURVEY.md "hard
 parts": exact 1-NN).
 """
@@ -47,14 +52,17 @@ from ..core.particles import Particles
 
 __all__ = ["nn_assign", "nn_brute_force", "nn_interp_to_field"]
 
-_COARSEST = 8  # grid size at which the full jump flood takes over
+_COARSEST = 8  # grid size solved by dense all-pairs distance
 
 
+# ---------------------------------------------------------------------- #
+# seeds                                                                  #
+# ---------------------------------------------------------------------- #
 def _seed_grids(pos: jax.Array, n_grid: int, box_size: float, n_seeds: int):
     """Rank-k nearest-to-own-cell-center particle per cell, k < n_seeds.
 
-    Returns ``(seed_idx, seed_pos)`` with leading axis k;
-    ``seed_idx == -1`` marks cells holding fewer than k+1 particles.
+    Returns ``(seed_idx (k,n,n,n) i32, seed_pos (k,3,n,n,n))`` with
+    ``seed_idx == -1`` marking cells holding fewer than k+1 particles.
     """
     n_cells = n_grid**3
     cell = box_size / n_grid
@@ -74,11 +82,14 @@ def _seed_grids(pos: jax.Array, n_grid: int, box_size: float, n_seeds: int):
         seed_idx = jnp.full((n_cells,), -1, jnp.int32).at[target].set(
             pidx_s, mode="drop"
         )
-        seed_pos = jnp.zeros((n_cells, 3), pos.dtype).at[target].set(
-            pos[pidx_s], mode="drop"
-        )
         idx_list.append(seed_idx.reshape((n_grid,) * 3))
-        pos_list.append(seed_pos.reshape((n_grid,) * 3 + (3,)))
+        chan = []
+        for c in range(3):
+            ch = jnp.zeros((n_cells,), pos.dtype).at[target].set(
+                pos[pidx_s, c], mode="drop"
+            )
+            chan.append(ch.reshape((n_grid,) * 3))
+        pos_list.append(jnp.stack(chan))
         if k + 1 < n_seeds:
             rank_mask = jnp.concatenate(
                 [jnp.array([False]), rank_mask[:-1] & ~new_seg]
@@ -91,15 +102,17 @@ def _centers_1d(n_grid: int, box_size: float, dtype) -> jax.Array:
 
 
 def _make_dist2(n_grid: int, box_size: float, periodic: bool, dtype):
+    """Distance^2 from each cell center to a channels-first (3, n, n, n)
+    candidate position field."""
     axis = _centers_1d(n_grid, box_size, dtype)
     cx = axis[:, None, None]
     cy = axis[None, :, None]
     cz = axis[None, None, :]
 
     def dist2(p):
-        dx = cx - p[..., 0]
-        dy = cy - p[..., 1]
-        dz = cz - p[..., 2]
+        dx = cx - p[0]
+        dy = cy - p[1]
+        dz = cz - p[2]
         if periodic:
             dx = dx - box_size * jnp.round(dx / box_size)
             dy = dy - box_size * jnp.round(dy / box_size)
@@ -114,58 +127,17 @@ def _merge(state, cand_idx, cand_pos, cand_d2):
     take = cand_d2 < bd
     return (
         jnp.where(take, cand_idx, bi),
-        jnp.where(take[..., None], cand_pos, bp),
+        jnp.where(take[None], cand_pos, bp),
         jnp.where(take, cand_d2, bd),
     )
 
 
-def _sweep(state, dist2, big, shifts, extra_fields=()):
-    """Neighbor compares over a list of offset vectors (sequential, so
-    information chains across offsets within one call).
-
-    ``extra_fields``: additional (idx, pos) candidate grids compared at
-    every offset alongside the state itself.  This is the eviction
-    repair: the state keeps only ONE candidate per cell (the best for
-    *that* cell), but a neighboring query may prefer a candidate that
-    lost locally — rolling the per-rank seed fields gives every query
-    direct access to each neighbor cell's rank-k particles.
-
-    Implemented as a ``lax.scan`` over the offset array so the sweep
-    compiles once regardless of offset count (a fully unrolled roll
-    chain takes minutes in XLA); the dynamic rolls cost extra copies at
-    runtime — the planned Pallas halo kernel replaces this whole sweep
-    with a single HBM pass.
-
-    ``extra_fields`` is an optional pre-stacked pair
-    ``(idx (k,n,n,n), pos (k,n,n,n,3))``; ranks are rolled one at a
-    time to keep the transient footprint at one cube, not k.
-    """
-    xi, xp = extra_fields if extra_fields else (None, None)
-
-    def body(st, sv):
-        shift = (sv[0], sv[1], sv[2])
-        ci = jnp.roll(st[0], shift, axis=(0, 1, 2))
-        cp = jnp.roll(st[1], shift, axis=(0, 1, 2))
-        cd = jnp.where(ci >= 0, dist2(cp), big)
-        st = _merge(st, ci, cp, cd)
-        if xi is not None:
-            for k in range(xi.shape[0]):
-                ri = jnp.roll(xi[k], shift, axis=(0, 1, 2))
-                rp = jnp.roll(xp[k], shift, axis=(0, 1, 2))
-                cd = jnp.where(ri >= 0, dist2(rp), big)
-                st = _merge(st, ri, rp, cd)
-        return st, None
-
-    state, _ = jax.lax.scan(body, state, jnp.asarray(shifts, jnp.int32))
-    return state
-
-
+# ---------------------------------------------------------------------- #
+# sweeps (XLA fallback; the TPU path is the Pallas kernel)               #
+# ---------------------------------------------------------------------- #
 def _level_shifts(rounds: int) -> List[Tuple[int, int, int]]:
-    """Per-level repair sweeps after upsampling: stride-2 then stride-1
-    26-neighborhoods, ``rounds`` times (a coarse-level +-1 error is a
-    fine-level +-2 displacement, so the stride-2 pass is what lets one
-    round repair upsampling artifacts).  Sequential compares chain, so
-    information travels farther than the nominal radius."""
+    """Stride-2 then stride-1 26-neighborhoods, ``rounds`` times (a
+    coarse-level +-1 error is a fine-level +-2 displacement)."""
     base = [
         (dx, dy, dz)
         for dx in (-1, 0, 1)
@@ -180,26 +152,51 @@ def _level_shifts(rounds: int) -> List[Tuple[int, int, int]]:
     return shifts
 
 
+def _sweep(state, dist2, big, shifts, extra_fields=None):
+    """Neighbor compares over offset vectors (sequential, so information
+    chains across offsets).  ``extra_fields``: pre-stacked per-rank seed
+    grids ``(idx (k,n,n,n), pos (k,3,n,n,n))`` compared at every offset
+    — the eviction repair (a neighboring query may prefer a candidate
+    that lost inside its own cell)."""
+    xi, xp = extra_fields if extra_fields is not None else (None, None)
+
+    def body(st, sv):
+        shift = (sv[0], sv[1], sv[2])
+        ci = jnp.roll(st[0], shift, axis=(0, 1, 2))
+        cp = jnp.roll(st[1], shift, axis=(1, 2, 3))
+        cd = jnp.where(ci >= 0, dist2(cp), big)
+        st = _merge(st, ci, cp, cd)
+        if xi is not None:
+            for k in range(xi.shape[0]):
+                ri = jnp.roll(xi[k], shift, axis=(0, 1, 2))
+                rp = jnp.roll(xp[k], shift, axis=(1, 2, 3))
+                cd = jnp.where(ri >= 0, dist2(rp), big)
+                st = _merge(st, ri, rp, cd)
+        return st, None
+
+    state, _ = jax.lax.scan(body, state, jnp.asarray(shifts, jnp.int32))
+    return state
+
+
 def _coarsest_exact(seed_idx, seed_pos, n_grid, box_size, periodic, big):
     """Exact NN at the coarsest level by dense all-pairs distance:
     every cell against every coarsest-level seed particle (<= k * 8^3
-    candidates — one small matmul-shaped op, the TPU-native 'brute
-    force' base case)."""
+    candidates — one small matmul-shaped op)."""
     dtype = seed_pos.dtype
     k = seed_idx.shape[0]
-    cand_idx = seed_idx.reshape(-1)  # (k * n^3,)
-    cand_pos = seed_pos.reshape(-1, 3)
+    cand_idx = seed_idx.reshape(-1)  # (k n^3,)
+    cand_pos = seed_pos.transpose(0, 2, 3, 4, 1).reshape(-1, 3)
     axis = _centers_1d(n_grid, box_size, dtype)
     cx, cy, cz = jnp.meshgrid(axis, axis, axis, indexing="ij")
     centers = jnp.stack([cx.ravel(), cy.ravel(), cz.ravel()], axis=1)
-    d = centers[:, None, :] - cand_pos[None, :, :]  # (n^3, k n^3, 3)
+    d = centers[:, None, :] - cand_pos[None, :, :]
     if periodic:
         d = d - box_size * jnp.round(d / box_size)
     d2 = jnp.sum(d * d, axis=-1)
     d2 = jnp.where(cand_idx[None, :] >= 0, d2, big)
     best = jnp.argmin(d2, axis=1)
     best_idx = cand_idx[best].reshape((n_grid,) * 3)
-    best_pos = cand_pos[best].reshape((n_grid,) * 3 + (3,))
+    best_pos = cand_pos[best].reshape((n_grid,) * 3 + (3,)).transpose(3, 0, 1, 2)
     best_d2 = jnp.take_along_axis(d2, best[:, None], axis=1)[:, 0].reshape(
         (n_grid,) * 3
     )
@@ -208,34 +205,46 @@ def _coarsest_exact(seed_idx, seed_pos, n_grid, box_size, periodic, big):
 
 def _pool_seeds(seed_idx, seed_pos, coarse_dist2, n_seeds, big):
     """Min-pool seed candidates over 2x2x2 blocks, re-scored against the
-    COARSE cell centers, keeping the ``n_seeds`` best per coarse cell."""
-    k = seed_idx.shape[0]
-    n = seed_idx.shape[1]
-    m = n // 2
-    si = seed_idx.reshape(k, m, 2, m, 2, m, 2).transpose(0, 2, 4, 6, 1, 3, 5)
-    sp = seed_pos.reshape(k, m, 2, m, 2, m, 2, 3).transpose(0, 2, 4, 6, 1, 3, 5, 7)
-    si = si.reshape(8 * k, m, m, m)
-    sp = sp.reshape(8 * k, m, m, m, 3)
+    COARSE cell centers, keeping the ``n_seeds`` best per coarse cell.
+
+    Strided slices + candidate-axis concats — never a reshape that
+    leaves a tiny trailing dimension (the TPU (8, 128) tile pads it)."""
+    si, sp = seed_idx, seed_pos  # (k,n,n,n), (k,3,n,n,n)
+    for ax_i, ax_p in ((1, 2), (2, 3), (3, 4)):
+        def halves(x, axis):
+            even = [slice(None)] * x.ndim
+            odd = [slice(None)] * x.ndim
+            even[axis] = slice(0, None, 2)
+            odd[axis] = slice(1, None, 2)
+            return jnp.concatenate([x[tuple(even)], x[tuple(odd)]], axis=0)
+
+        si = halves(si, ax_i)
+        sp = halves(sp, ax_p)
     sd = jnp.where(si >= 0, jax.vmap(coarse_dist2)(sp), big)
-    # keep the n_seeds best (lowest coarse d2) of the 8k children
     order = jnp.argsort(sd, axis=0)[:n_seeds]
     return (
         jnp.take_along_axis(si, order, axis=0),
-        jnp.take_along_axis(sp, order[..., None], axis=0),
+        jnp.take_along_axis(sp, order[:, None], axis=0),
     )
 
 
 def _upsample(state):
-    bi, bp, bd = state
+    """2x nearest upsampling via per-axis gathers (``jnp.repeat`` would
+    materialize a (..., n, 2) intermediate — see the tiling note)."""
+    bi, bp, _ = state
 
-    def up(x):
-        for ax in (0, 1, 2):
-            x = jnp.repeat(x, 2, axis=ax)
+    def up(x, axes):
+        for ax in axes:
+            idx = jnp.arange(2 * x.shape[ax], dtype=jnp.int32) // 2
+            x = jnp.take(x, idx, axis=ax)
         return x
 
-    return up(bi), up(bp)
+    return up(bi, (0, 1, 2)), up(bp, (1, 2, 3))
 
 
+# ---------------------------------------------------------------------- #
+# exact refinement                                                       #
+# ---------------------------------------------------------------------- #
 def _ring_refine(
     pos: jax.Array,
     n_grid: int,
@@ -306,9 +315,15 @@ def _ring_refine(
     )
 
 
+# ---------------------------------------------------------------------- #
+# main entry                                                             #
+# ---------------------------------------------------------------------- #
 @partial(
     jax.jit,
-    static_argnames=("n_grid", "periodic", "n_seeds", "rounds", "refine_radius"),
+    static_argnames=(
+        "n_grid", "box_size", "periodic", "n_seeds", "rounds",
+        "refine_radius", "use_pallas",
+    ),
 )
 def nn_assign(
     pos: jax.Array,
@@ -318,6 +333,7 @@ def nn_assign(
     n_seeds: int = 2,
     rounds: int = 1,
     refine_radius: int = 0,
+    use_pallas: bool = None,
 ) -> jax.Array:
     """(N, N, N) int32 grid: index of the particle nearest to each cell
     center — the answer the reference obtained from ``pyann.nn2(k=1)``
@@ -325,20 +341,24 @@ def nn_assign(
     (``parallel_optimized.py:348``).
 
     ``periodic`` selects the distance metric: minimum-image (True) or
-    open-box (False, the reference ANN behavior).  With
-    ``periodic=False`` wrapped flood candidates simply lose on distance,
-    so no masking is needed.
+    open-box (False, the reference ANN behavior).  ``use_pallas=None``
+    auto-selects the fused TPU sweep kernel on TPU backends for grids
+    that fit its tiling.
 
-    ``refine_radius > 0`` adds the particle-major exact correction
-    (see :func:`_ring_refine`) — exact whenever the true NN lies within
-    that many cells of the query, at the cost of XLA scatters.
+    ``refine_radius > 0`` adds the particle-major exact correction —
+    exact whenever the true NN lies within that many cells of the
+    query, at the cost of XLA scatters.
     """
     dtype = pos.dtype
     pos = pos % box_size
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
-    # Per-level seed pyramid: fine seeds from one sort, coarser seeds by
-    # 2x min-pooling re-scored against coarse cell centers.
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() not in ("cpu",) and n_grid % 8 == 0
+            and n_grid >= 64
+        )
+
     levels = [n_grid]
     while levels[-1] > _COARSEST and levels[-1] % 2 == 0:
         levels.append(levels[-1] // 2)
@@ -355,17 +375,33 @@ def nn_assign(
     si, sp = seeds[n0]
     state = _coarsest_exact(si, sp, n0, box_size, periodic, big)
 
-    # Descend: upsample, merge level seeds, repair sweeps with per-rank
-    # seed fields as direct neighbor candidates.
+    # Descend: upsample, merge level seeds, repair sweeps.
     for n in reversed(levels[:-1]):
         bi, bp = _upsample(state)
-        bd = jnp.where(bi >= 0, dist2_at[n](bp), big)
-        state = (bi, bp, bd)
         si, sp = seeds.pop(n)
-        for k in range(si.shape[0]):
-            sd_k = jnp.where(si[k] >= 0, dist2_at[n](sp[k]), big)
-            state = _merge(state, si[k], sp[k], sd_k)
-        state = _sweep(state, dist2_at[n], big, _level_shifts(rounds), (si, sp))
+        # the kernel's z axis must fill whole 128-lane tiles
+        if use_pallas and n % 128 == 0:
+            from .nn_pallas import sweep_tiles
+
+            sp_flat = sp.reshape(si.shape[0] * 3, n, n, n)
+            # the kernel compares candidates in parallel (no in-pass
+            # chaining like the scan sweep), so give it one extra pass —
+            # each pass is a single cheap HBM sweep
+            for _ in range(rounds + 1):
+                bi, bp, _ = sweep_tiles(
+                    bi, bp, si, sp_flat, float(box_size), periodic=periodic,
+                )
+            bd = jnp.where(bi >= 0, dist2_at[n](bp), big)
+            state = (bi, bp, bd)
+        else:
+            bd = jnp.where(bi >= 0, dist2_at[n](bp), big)
+            state = (bi, bp, bd)
+            for k in range(si.shape[0]):
+                sd_k = jnp.where(si[k] >= 0, dist2_at[n](sp[k]), big)
+                state = _merge(state, si[k], sp[k], sd_k)
+            state = _sweep(
+                state, dist2_at[n], big, _level_shifts(rounds), (si, sp)
+            )
 
     best_idx, _, best_d2 = state
     if refine_radius > 0:
@@ -407,15 +443,16 @@ def nn_interp_to_field(
     density-velocity vector per cell, then ``v = (rho v) / rho`` and
     ``mass = rho * Lcell^3``.
 
-    ``exact=True`` adds the particle-major radius-2 refinement, matching
-    the reference library's exact-ANN behavior (eps=0); the default fast
-    mode has a measured <~1e-3 sub-cell-bounded misassignment rate —
-    still far more accurate than the reference's production Annoy
-    single-tree path.
+    ``exact=True`` adds three-rank seeding plus the particle-major
+    radius-2 refinement, matching the reference library's exact-ANN
+    behavior (eps=0); the default fast mode has a measured <~1e-3
+    sub-cell-bounded misassignment rate — still far more accurate than
+    the reference's production Annoy single-tree path.
     """
     idx = nn_assign(
         particles.pos, n_grid, particles.box_size,
         periodic=periodic,
+        n_seeds=3 if exact else 2,
         refine_radius=2 if exact else 0,
     )
     vec = particles.density_velocity_vector()

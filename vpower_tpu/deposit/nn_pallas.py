@@ -1,0 +1,252 @@
+"""Pallas TPU kernel for the NN fine-level sweep.
+
+The XLA fallback (:func:`vpower_tpu.deposit.nn._sweep`) rolls whole
+grid cubes per neighbor offset; a dynamic ``jnp.roll`` lowers to
+``concat(x, x) + dynamic_slice``, so every offset costs a full-cube
+copy AND a doubled temporary — at 512^3 that is gigabytes of HLO temps
+and ~78 cube passes per level.  This kernel does the entire
+26-neighborhood x {state + rank-k seeds} x {stride 1, 2} compare in ONE
+pass over HBM.
+
+Hardware constraints that shaped it (all discovered the hard way):
+
+* HBM->VMEM DMA slices must be 8-aligned on the sublane (second-minor)
+  dim and 128-aligned on the lane (minor) dim — unaligned slices fault
+  the TPU worker at runtime.  So inputs are pre-padded in XLA with
+  periodic halos (x/y: 4 cells; z: 64 cells) sized so every tile's DMA
+  window has aligned start AND extent, and each tile needs exactly one
+  contiguous DMA per field.
+* VMEM is ~16 MiB: the z axis is chunked (128 lanes per tile) instead
+  of resident, and neighbor z-shifts are static slices into the
+  z-extended window (no ``pltpu.roll`` copies).
+* ``tpu.iota`` is integer-only; float coordinates are cast afterwards.
+* Positions are carried channels-first (3, N, N, N): a trailing dim of
+  3 in a materialized layout costs up to 40x its logical HBM size under
+  the (8, 128) tile.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["sweep_tiles"]
+
+_HALO = 4    # x/y halo; strides 1-2 need 2, 4 keeps DMA sublane-aligned
+_ZHALO = 64  # z halo; keeps DMA lane-aligned (128-divisible extents)
+
+
+def _sweep_kernel(
+    state_idx_hbm, state_pos_hbm, seed_idx_hbm, seed_pos_hbm,
+    out_idx, out_pos, out_d2,
+    sidx_t, spos_t, kidx_t, kpos_t, sems,
+    *,
+    n_grid: int,
+    tile: int,
+    zc: int,
+    n_seeds: int,
+    box_size: float,
+    periodic: bool,
+    strides: Tuple[int, ...],
+):
+    tx = pl.program_id(0)
+    ty = pl.program_id(1)
+    tz = pl.program_id(2)
+    x0 = tx * tile
+    y0 = ty * tile
+    z0 = tz * zc
+    h = _HALO
+    hz = _ZHALO
+    w = tile + 2 * h
+    wz = zc + 2 * hz
+    cell = box_size / n_grid
+    big = jnp.float32(3.0e38)
+
+    copies = []
+    for src, dst, lead in (
+        (state_idx_hbm, sidx_t, False),
+        (state_pos_hbm, spos_t, True),
+        (seed_idx_hbm, kidx_t, True),
+        (seed_pos_hbm, kpos_t, True),
+    ):
+        if lead:
+            c = pltpu.make_async_copy(
+                src.at[:, pl.ds(x0, w), pl.ds(y0, w), pl.ds(z0, wz)],
+                dst, sems.at[len(copies)],
+            )
+        else:
+            c = pltpu.make_async_copy(
+                src.at[pl.ds(x0, w), pl.ds(y0, w), pl.ds(z0, wz)],
+                dst, sems.at[len(copies)],
+            )
+        c.start()
+        copies.append(c)
+    for c in copies:
+        c.wait()
+
+    def fiota(dim):
+        return jax.lax.broadcasted_iota(
+            jnp.int32, (tile, tile, zc), dim
+        ).astype(jnp.float32)
+
+    fx = (fiota(0) + (jnp.float32(x0) + 0.5)) * cell
+    fy = (fiota(1) + (jnp.float32(y0) + 0.5)) * cell
+    fz = (fiota(2) + (jnp.float32(z0) + 0.5)) * cell
+
+    def dist2(px, py, pz):
+        dx_ = fx - px
+        dy_ = fy - py
+        dz_ = fz - pz
+        if periodic:
+            dx_ = dx_ - box_size * jnp.round(dx_ / box_size)
+            dy_ = dy_ - box_size * jnp.round(dy_ / box_size)
+            dz_ = dz_ - box_size * jnp.round(dz_ / box_size)
+        return dx_ * dx_ + dy_ * dy_ + dz_ * dz_
+
+    def window(ref, dx, dy, dz, leading_index=None):
+        xsl = slice(h + dx, h + dx + tile)
+        ysl = slice(h + dy, h + dy + tile)
+        zsl = slice(hz + dz, hz + dz + zc)
+        if leading_index is None:
+            return ref[xsl, ysl, zsl]
+        return ref[leading_index, xsl, ysl, zsl]
+
+    best_i = window(sidx_t, 0, 0, 0)
+    bpx = window(spos_t, 0, 0, 0, 0)
+    bpy = window(spos_t, 0, 0, 0, 1)
+    bpz = window(spos_t, 0, 0, 0, 2)
+    best_d = jnp.where(best_i >= 0, dist2(bpx, bpy, bpz), big)
+
+    best = (best_i, best_d)
+    best_p = (bpx, bpy, bpz)
+
+    def consider_p(ci, px, py, pz, best, best_p):
+        best_i, best_d = best
+        cd = jnp.where(ci >= 0, dist2(px, py, pz), big)
+        take = cd < best_d
+        return (
+            (jnp.where(take, ci, best_i), jnp.where(take, cd, best_d)),
+            (
+                jnp.where(take, px, best_p[0]),
+                jnp.where(take, py, best_p[1]),
+                jnp.where(take, pz, best_p[2]),
+            ),
+        )
+
+    for s in strides:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    if (dx, dy, dz) == (0, 0, 0):
+                        fields = range(n_seeds)  # seeds at own cell
+                    else:
+                        fields = range(-1, n_seeds)  # -1 = state field
+                    for f in fields:
+                        if f < 0:
+                            ci = window(sidx_t, dx * s, dy * s, dz * s)
+                            px = window(spos_t, dx * s, dy * s, dz * s, 0)
+                            py = window(spos_t, dx * s, dy * s, dz * s, 1)
+                            pz = window(spos_t, dx * s, dy * s, dz * s, 2)
+                        else:
+                            ci = window(kidx_t, dx * s, dy * s, dz * s, f)
+                            px = window(kpos_t, dx * s, dy * s, dz * s, 3 * f)
+                            py = window(kpos_t, dx * s, dy * s, dz * s, 3 * f + 1)
+                            pz = window(kpos_t, dx * s, dy * s, dz * s, 3 * f + 2)
+                        best, best_p = consider_p(ci, px, py, pz, best, best_p)
+
+    out_idx[:, :, :] = best[0]
+    out_d2[:, :, :] = best[1]
+    out_pos[0, :, :, :] = best_p[0]
+    out_pos[1, :, :, :] = best_p[1]
+    out_pos[2, :, :, :] = best_p[2]
+
+
+def _wrap_pad(x: jax.Array, spatial_start: int) -> jax.Array:
+    """Periodic pad: x/y by _HALO, z by _ZHALO."""
+    pad = [(0, 0)] * x.ndim
+    pad[spatial_start] = (_HALO, _HALO)
+    pad[spatial_start + 1] = (_HALO, _HALO)
+    pad[spatial_start + 2] = (_ZHALO, _ZHALO)
+    return jnp.pad(x, pad, mode="wrap")
+
+
+@partial(
+    jax.jit,
+    static_argnames=("box_size", "periodic", "tile", "zc", "strides",
+                     "interpret"),
+)
+def sweep_tiles(
+    state_idx: jax.Array,   # (N, N, N) i32
+    state_pos: jax.Array,   # (3, N, N, N) f32 channels-first
+    seed_idx: jax.Array,    # (k, N, N, N) i32
+    seed_pos: jax.Array,    # (3k, N, N, N) f32
+    box_size: float,
+    periodic: bool = True,
+    tile: int = 8,
+    zc: int = 128,
+    strides: Tuple[int, ...] = (2, 1),
+    interpret: bool = False,
+):
+    """One fused sweep pass.  Returns (best_idx, best_pos, best_d2) with
+    best_pos channels-first.  Requires N to be a multiple of 128 (lane
+    alignment of the z chunking); tests run any N in interpret mode."""
+    n = state_idx.shape[0]
+    assert n % tile == 0, "grid must divide the tile size"
+    zc = min(zc, n)
+    assert n % zc == 0
+    k = seed_idx.shape[0]
+    grid = (n // tile, n // tile, n // zc)
+    h, hz = _HALO, _ZHALO
+    w, wz = tile + 2 * h, zc + 2 * hz
+
+    si_p = _wrap_pad(state_idx, 0)
+    sp_p = _wrap_pad(state_pos, 1)
+    ki_p = _wrap_pad(seed_idx, 1)
+    kp_p = _wrap_pad(seed_pos, 1)
+
+    kernel = partial(
+        _sweep_kernel,
+        n_grid=n,
+        tile=tile,
+        zc=zc,
+        n_seeds=k,
+        box_size=float(box_size),
+        periodic=periodic,
+        strides=strides,
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((n, n, n), jnp.int32),
+        jax.ShapeDtypeStruct((3, n, n, n), jnp.float32),
+        jax.ShapeDtypeStruct((n, n, n), jnp.float32),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, tile, zc), lambda i, j, l: (i, j, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile, tile, zc), lambda i, j, l: (0, i, j, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, tile, zc), lambda i, j, l: (i, j, l),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((w, w, wz), jnp.int32),
+            pltpu.VMEM((3, w, w, wz), jnp.float32),
+            pltpu.VMEM((k, w, w, wz), jnp.int32),
+            pltpu.VMEM((3 * k, w, w, wz), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(si_p, sp_p, ki_p, kp_p)

@@ -105,13 +105,17 @@ def _quantity_grid(field: BoxField, quantity: str) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("quantity", "kmin", "kmax", "spacing"))
+@partial(
+    jax.jit,
+    static_argnames=("quantity", "kmin", "kmax", "spacing", "compensate_order"),
+)
 def _spectrum_device(
     field: BoxField,
     quantity: str,
     kmin: Optional[float],
     kmax: Optional[float],
     spacing: Optional[float],
+    compensate_order: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     data = _quantity_grid(field, quantity)
     box = field.box_size
@@ -119,6 +123,10 @@ def _spectrum_device(
         p_grid = power_mod.vector_power(data, box)
     else:
         p_grid = power_mod.scalar_power(data, box)
+    if compensate_order > 0:
+        p_grid = p_grid * power_mod.window_compensation(
+            field.n_grid, compensate_order, dtype=p_grid.dtype
+        )
     return power_mod.shell_bin(p_grid, box, kmin=kmin, kmax=kmax, spacing=spacing)
 
 
@@ -128,15 +136,48 @@ def spectrum_from_field(
     kmin: Optional[float] = None,
     kmax: Optional[float] = None,
     spacing: Optional[float] = None,
+    compensate_order: int = 0,
 ) -> PowerSpectrum:
     """FFT power + shell binning + ESD weighting -> PowerSpectrum.
 
     Reference ``BoxField.spctrm`` (``interp.py:560-595``): same defaults
     (kmin = 2 pi / L, kmax = pi / Lcell, spacing = kmin) and the same
     ``4 pi k^2`` shell weighting applied on the host via
-    :meth:`PowerSpectrum.from_binned`.
+    :meth:`PowerSpectrum.from_binned`.  ``compensate_order`` divides the
+    power grid by the deposition window squared before binning
+    (1 = NGP, 2 = CIC; 0 = off, reference parity).
     """
-    k, psum, nsample = _spectrum_device(field, quantity, kmin, kmax, spacing)
+    k, psum, nsample = _spectrum_device(
+        field, quantity, kmin, kmax, spacing, compensate_order
+    )
+    return PowerSpectrum.from_binned(
+        np.asarray(k), np.asarray(psum), np.asarray(nsample)
+    )
+
+
+def cross_spectrum(
+    field_a: BoxField,
+    field_b: BoxField,
+    quantity: str = "velocity",
+    kmin: Optional[float] = None,
+    kmax: Optional[float] = None,
+    spacing: Optional[float] = None,
+) -> PowerSpectrum:
+    """Cross-spectrum of two fields on the same grid (e.g. velocity of
+    two snapshots, or velocity x momentum of one) — SURVEY.md §7 build
+    step 6."""
+    assert field_a.n_grid == field_b.n_grid, "grids must match"
+
+    @partial(jax.jit, static_argnames=())
+    def run(fa, fb):
+        da = _quantity_grid(fa, quantity)
+        db = _quantity_grid(fb, quantity)
+        p_grid = power_mod.cross_power(da, db, fa.box_size)
+        return power_mod.shell_bin(
+            p_grid, fa.box_size, kmin=kmin, kmax=kmax, spacing=spacing
+        )
+
+    k, psum, nsample = run(field_a, field_b)
     return PowerSpectrum.from_binned(
         np.asarray(k), np.asarray(psum), np.asarray(nsample)
     )
@@ -150,13 +191,58 @@ def power_spectrum(
     kmin: Optional[float] = None,
     kmax: Optional[float] = None,
     spacing: Optional[float] = None,
+    interlace: bool = False,
+    compensate: bool = False,
     **deposit_kwargs,
 ) -> PowerSpectrum:
     """The docs-quickstart pipeline in one call: load -> interp -> spctrm
-    (reference ``docs/source/getting_started.rst:30-78``)."""
-    field = deposit(particles, n_grid, method=method, **deposit_kwargs)
-    return spectrum_from_field(
-        field, quantity=quantity, kmin=kmin, kmax=kmax, spacing=spacing
+    (reference ``docs/source/getting_started.rst:30-78``).
+
+    ``interlace`` deposits a second, half-cell-shifted grid and combines
+    the two transforms to cancel odd aliasing images (scatter methods
+    only); ``compensate`` deconvolves the NGP/CIC deposition window.
+    Both are off by default for reference parity.
+    """
+    comp_order = {"ngp": 1, "cic": 2}.get(method, 0) if compensate else 0
+    if compensate and comp_order == 0:
+        raise ValueError("compensate=True is defined for ngp/cic only")
+    if not interlace:
+        field = deposit(particles, n_grid, method=method, **deposit_kwargs)
+        return spectrum_from_field(
+            field, quantity=quantity, kmin=kmin, kmax=kmax, spacing=spacing,
+            compensate_order=comp_order,
+        )
+    if method not in ("ngp", "cic"):
+        raise ValueError("interlace=True is defined for scatter methods")
+
+    import dataclasses as _dc
+
+    cell = particles.box_size / n_grid
+    shifted = _dc.replace(
+        particles, pos=(particles.pos + cell / 2) % particles.box_size
+    )
+
+    @partial(jax.jit, static_argnames=())
+    def run(p1, p2):
+        f1 = _deposit_scatter(p1, n_grid, method)
+        f2 = _deposit_scatter(p2, n_grid, method)
+        d1 = _quantity_grid(f1, quantity)
+        d2 = _quantity_grid(f2, quantity)
+        if d1.ndim == 3:
+            d1 = d1[..., None]
+            d2 = d2[..., None]
+        p_grid = power_mod.interlaced_vector_power(d1, d2, f1.box_size)
+        if comp_order > 0:
+            p_grid = p_grid * power_mod.window_compensation(
+                n_grid, comp_order, dtype=p_grid.dtype
+            )
+        return power_mod.shell_bin(
+            p_grid, f1.box_size, kmin=kmin, kmax=kmax, spacing=spacing
+        )
+
+    k, psum, nsample = run(particles, shifted)
+    return PowerSpectrum.from_binned(
+        np.asarray(k), np.asarray(psum), np.asarray(nsample)
     )
 
 

@@ -32,6 +32,9 @@ __all__ = [
     "scalar_power",
     "vector_power_from_complex",
     "scalar_power_from_complex",
+    "cross_power",
+    "interlaced_vector_power",
+    "window_compensation",
     "bin_grid",
     "shell_bin",
     "default_k_bins",
@@ -93,6 +96,79 @@ def scalar_power_from_complex(f: jax.Array, box_size: float) -> jax.Array:
     a = power_norm(box_size, n_grid)
     fk = jnp.fft.fftn(f)
     return 0.5 * (jnp.real(fk) ** 2 + jnp.imag(fk) ** 2) * (a * a)
+
+
+def cross_power(a: jax.Array, b: jax.Array, box_size: float) -> jax.Array:
+    """Cross-power grid of two real fields (scalar or channel-last
+    vector): ``P_ab = 0.5 * sum_c Re(a F[a_c] conj(a F[b_c]))``.
+
+    Extends the reference's auto-spectra (it has none of this; SURVEY.md
+    §7 build step 6 "cross-spectra") with the same normalization so the
+    a == b case reduces exactly to :func:`vector_power` /
+    :func:`scalar_power`.
+    """
+    assert a.shape == b.shape, "cross_power requires matching shapes"
+    n_grid = a.shape[0]
+    norm = power_norm(box_size, n_grid)
+    if a.ndim == 3:
+        a = a[..., None]
+        b = b[..., None]
+    acc = None
+    for c in range(a.shape[-1]):
+        fa = jnp.fft.fftn(a[..., c])
+        fb = jnp.fft.fftn(b[..., c])
+        p = 0.5 * (jnp.real(fa) * jnp.real(fb) + jnp.imag(fa) * jnp.imag(fb))
+        acc = p if acc is None else acc + p
+    return acc * (norm * norm)
+
+
+def interlaced_vector_power(
+    v: jax.Array, v_shifted: jax.Array, box_size: float
+) -> jax.Array:
+    """Power grid with interlacing: ``v_shifted`` is the same field
+    deposited from positions shifted by half a cell along each axis; the
+    two Fourier transforms are combined with the half-cell phase, which
+    cancels the odd images of the deposition window (Hockney & Eastwood
+    interlacing; the 'interlaced spectra' scale target of BASELINE.md).
+    """
+    n_grid = v.shape[0]
+    a = power_norm(box_size, n_grid)
+    idx = jax.lax.iota(jnp.int32, n_grid)
+    wrapped = jnp.where(idx < (n_grid + 1) // 2, idx, idx - n_grid)
+    theta_1d = jnp.pi * wrapped.astype(v.dtype) / n_grid
+    theta = (
+        theta_1d[:, None, None]
+        + theta_1d[None, :, None]
+        + theta_1d[None, None, :]
+    )
+    # the shift by +Lcell/2 multiplies true modes by e^{+i k.delta};
+    # align with e^{-i theta}, theta = pi (nx+ny+nz) / N
+    phase = jax.lax.complex(jnp.cos(theta), -jnp.sin(theta))
+    acc = None
+    for c in range(v.shape[-1]):
+        fk = 0.5 * (jnp.fft.fftn(v[..., c]) + phase * jnp.fft.fftn(v_shifted[..., c]))
+        p = 0.5 * (jnp.real(fk) ** 2 + jnp.imag(fk) ** 2)
+        acc = p if acc is None else acc + p
+    return acc * (a * a)
+
+
+def window_compensation(
+    n_grid: int, order: int, dtype=jnp.float32
+) -> jax.Array:
+    """(N, N, N) multiplicative correction ``1 / W(k)^2`` for the
+    deposition window: ``W(k) = prod_i sinc(pi n_i / N)^order`` with
+    order 1 = NGP, 2 = CIC, 3 = TSC.  Apply to the power grid BEFORE
+    binning.  (Not present in the reference — a standard particle-mesh
+    correction, flag-gated off by default for parity.)"""
+    idx = jax.lax.iota(jnp.int32, n_grid)
+    wrapped = jnp.where(idx < (n_grid + 1) // 2, idx, idx - n_grid)
+    x = jnp.pi * wrapped.astype(dtype) / n_grid
+    sinc = jnp.where(x != 0, jnp.sin(x) / jnp.where(x != 0, x, 1.0), 1.0)
+    w1d = sinc**order
+    w = (
+        w1d[:, None, None] * w1d[None, :, None] * w1d[None, None, :]
+    )
+    return 1.0 / (w * w)
 
 
 # ---------------------------------------------------------------------- #
