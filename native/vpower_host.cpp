@@ -1,0 +1,304 @@
+// vpower_host — native host-side runtime for vpower-tpu.
+//
+// The reference delegated its host-side heavy lifting to native
+// libraries (ANN/Annoy kd-trees with a persisted mmap index, FFTW
+// plans, MPI buffers — SURVEY.md §2.3).  The TPU rebuild moves the
+// compute to XLA/Pallas; what remains host-side is DATA LOGISTICS,
+// implemented here:
+//
+//   * a Gadget-2 legacy binary snapshot reader (SnapFormat 1 and 2) —
+//     the non-HDF5 sibling of the reference's h5py path
+//     (vpower/interp.py:84-131); many production snapshots ship in
+//     this format and no Python HDF5 stack is needed for it;
+//   * Morton (Z-order) key computation + parallel permutation sort —
+//     the spatial pre-ordering that plays the role of the reference's
+//     persisted Annoy index (parallel_optimized.py:297-313): sorting
+//     particles once on the host makes every later device-side
+//     cell-sort start from a nearly-sorted order and makes brick
+//     selection contiguous;
+//   * a threaded raw-brick reader/writer with posix I/O — the disk
+//     streaming layer under BrickStore (vpower/interp.py:858-879
+//     replacement), so folds can overlap disk reads with device
+//     compute.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+// Build: make -C native   (g++ -O3 -march=native -fopenmp -shared)
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <string>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// Gadget-2 legacy binary reader
+// ---------------------------------------------------------------------
+// Gadget block structure: [int32 len][payload][int32 len].  SnapFormat 2
+// prefixes each block with a 4-char tag block.  Header: 6x uint32 npart,
+// 6x double mass table, double time, double redshift, ... (256 bytes).
+
+struct GadgetHeader {
+  uint32_t npart[6];
+  double mass[6];
+  double time;
+  double redshift;
+  int32_t flag_sfr;
+  int32_t flag_feedback;
+  uint32_t npart_total[6];
+  int32_t flag_cooling;
+  int32_t num_files;
+  double box_size;
+  double omega0;
+  double omega_lambda;
+  double hubble_param;
+  char fill[96];
+};
+
+static bool read_block_header(FILE* f, int snap_format, char expect_tag[5],
+                              uint32_t* payload_len) {
+  if (snap_format == 2) {
+    uint32_t l1, l2;
+    char tag[4];
+    if (fread(&l1, 4, 1, f) != 1) return false;
+    if (fread(tag, 1, 4, f) != 4) return false;
+    uint32_t next_len;
+    if (fread(&next_len, 4, 1, f) != 1) return false;
+    if (fread(&l2, 4, 1, f) != 1) return false;
+    std::memcpy(expect_tag, tag, 4);
+    expect_tag[4] = 0;
+    (void)next_len;
+  } else {
+    expect_tag[0] = 0;
+  }
+  uint32_t l1;
+  if (fread(&l1, 4, 1, f) != 1) return false;
+  *payload_len = l1;
+  return true;
+}
+
+static bool skip_block_footer(FILE* f) {
+  uint32_t l2;
+  return fread(&l2, 4, 1, f) == 1;
+}
+
+// Returns the gas particle count, or -1 on error.  Arrays must be
+// pre-sized by a first call with null pointers (query mode).
+long long read_gadget_binary(const char* path, int snap_format,
+                             float* pos, float* vel, float* mass,
+                             float* rho, double* box_size) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+
+  char tag[5];
+  uint32_t len;
+  if (!read_block_header(f, snap_format, tag, &len) || len < 256) {
+    fclose(f);
+    return -1;
+  }
+  GadgetHeader h;
+  std::memset(&h, 0, sizeof(h));
+  size_t take = len < sizeof(h) ? len : sizeof(h);
+  if (fread(&h, 1, take, f) != take) { fclose(f); return -1; }
+  if (len > take) fseek(f, (long)(len - take), SEEK_CUR);
+  skip_block_footer(f);
+  if (box_size) *box_size = h.box_size;
+
+  uint64_t n_gas = h.npart[0];
+  uint64_t n_all = 0;
+  for (int i = 0; i < 6; i++) n_all += h.npart[i];
+  if (n_gas == 0) { fclose(f); return 0; }
+  if (!pos) { fclose(f); return (long long)n_gas; }  // query mode
+
+  // POS block: all particle types; take the first n_gas (type 0 first).
+  if (!read_block_header(f, snap_format, tag, &len)) { fclose(f); return -1; }
+  if (fread(pos, sizeof(float), 3 * n_gas, f) != 3 * n_gas) {
+    fclose(f); return -1;
+  }
+  fseek(f, (long)(len - 3 * n_gas * 4), SEEK_CUR);
+  skip_block_footer(f);
+
+  // VEL block
+  if (!read_block_header(f, snap_format, tag, &len)) { fclose(f); return -1; }
+  if (fread(vel, sizeof(float), 3 * n_gas, f) != 3 * n_gas) {
+    fclose(f); return -1;
+  }
+  fseek(f, (long)(len - 3 * n_gas * 4), SEEK_CUR);
+  skip_block_footer(f);
+
+  // ID block (skipped)
+  if (!read_block_header(f, snap_format, tag, &len)) { fclose(f); return -1; }
+  fseek(f, (long)len, SEEK_CUR);
+  skip_block_footer(f);
+
+  // MASS block: present only for types whose header mass is 0.
+  uint64_t n_mass = 0;
+  for (int i = 0; i < 6; i++)
+    if (h.mass[i] == 0.0) n_mass += h.npart[i];
+  if (n_mass > 0) {
+    if (!read_block_header(f, snap_format, tag, &len)) { fclose(f); return -1; }
+    if (h.mass[0] == 0.0) {
+      if (fread(mass, sizeof(float), n_gas, f) != n_gas) {
+        fclose(f); return -1;
+      }
+      fseek(f, (long)(len - n_gas * 4), SEEK_CUR);
+    } else {
+      for (uint64_t i = 0; i < n_gas; i++) mass[i] = (float)h.mass[0];
+      fseek(f, (long)len, SEEK_CUR);
+    }
+    skip_block_footer(f);
+  } else {
+    for (uint64_t i = 0; i < n_gas; i++) mass[i] = (float)h.mass[0];
+  }
+
+  // U (internal energy, gas only) — skipped.
+  if (read_block_header(f, snap_format, tag, &len)) {
+    fseek(f, (long)len, SEEK_CUR);
+    skip_block_footer(f);
+    // RHO (gas density)
+    if (read_block_header(f, snap_format, tag, &len) &&
+        len >= n_gas * sizeof(float)) {
+      if (fread(rho, sizeof(float), n_gas, f) != n_gas) {
+        fclose(f); return -1;
+      }
+      fseek(f, (long)(len - n_gas * 4), SEEK_CUR);
+      skip_block_footer(f);
+    } else {
+      for (uint64_t i = 0; i < n_gas; i++) rho[i] = 1.0f;
+    }
+  } else {
+    for (uint64_t i = 0; i < n_gas; i++) rho[i] = 1.0f;
+  }
+
+  fclose(f);
+  return (long long)n_gas;
+}
+
+// ---------------------------------------------------------------------
+// Morton ordering
+// ---------------------------------------------------------------------
+static inline uint64_t expand_bits(uint64_t v) {
+  // spread 21 bits across 63 (3-D interleave)
+  v &= 0x1fffff;
+  v = (v | v << 32) & 0x1f00000000ffffULL;
+  v = (v | v << 16) & 0x1f0000ff0000ffULL;
+  v = (v | v << 8)  & 0x100f00f00f00f00fULL;
+  v = (v | v << 4)  & 0x10c30c30c30c30c3ULL;
+  v = (v | v << 2)  & 0x1249249249249249ULL;
+  return v;
+}
+
+// keys[i] = 63-bit Morton key of pos[i] scaled to the box.
+void morton_keys(const float* pos, long long n, double box_size,
+                 uint64_t* keys) {
+  const double scale = 2097151.0 / box_size;  // 2^21 - 1
+#pragma omp parallel for schedule(static)
+  for (long long i = 0; i < n; i++) {
+    double x = pos[3 * i + 0], y = pos[3 * i + 1], z = pos[3 * i + 2];
+    x -= box_size * std::floor(x / box_size);
+    y -= box_size * std::floor(y / box_size);
+    z -= box_size * std::floor(z / box_size);
+    uint64_t xi = (uint64_t)(x * scale);
+    uint64_t yi = (uint64_t)(y * scale);
+    uint64_t zi = (uint64_t)(z * scale);
+    keys[i] = (expand_bits(xi) << 2) | (expand_bits(yi) << 1) | expand_bits(zi);
+  }
+}
+
+// order[i] = index of the i-th particle in Morton order (parallel merge
+// sort via gcc parallel mode when OpenMP is on; std::sort otherwise).
+void morton_argsort(const float* pos, long long n, double box_size,
+                    int64_t* order) {
+  std::vector<uint64_t> keys((size_t)n);
+  morton_keys(pos, n, box_size, keys.data());
+#pragma omp parallel for schedule(static)
+  for (long long i = 0; i < n; i++) order[i] = i;
+  std::sort(order, order + n, [&](int64_t a, int64_t b) {
+    return keys[(size_t)a] < keys[(size_t)b];
+  });
+}
+
+// Apply a permutation to an (n, width) float array into out.
+void permute_floats(const float* in, const int64_t* order, long long n,
+                    int width, float* out) {
+#pragma omp parallel for schedule(static)
+  for (long long i = 0; i < n; i++) {
+    const float* src = in + (size_t)order[i] * width;
+    float* dst = out + (size_t)i * width;
+    for (int c = 0; c < width; c++) dst[c] = src[c];
+  }
+}
+
+// ---------------------------------------------------------------------
+// Threaded raw-brick I/O
+// ---------------------------------------------------------------------
+// Bricks are raw float32 files; the prefetcher loads the NEXT brick on a
+// worker thread while the device folds the current one.
+
+struct BrickPrefetcher {
+  std::thread worker;
+  std::vector<float> buffer;
+  std::atomic<int> status{0};  // 0 idle, 1 busy, 2 ready, -1 error
+};
+
+void* brick_prefetcher_create() { return new BrickPrefetcher(); }
+
+void brick_prefetcher_destroy(void* p) {
+  auto* bp = (BrickPrefetcher*)p;
+  if (bp->worker.joinable()) bp->worker.join();
+  delete bp;
+}
+
+int brick_prefetch_start(void* p, const char* path, long long n_floats) {
+  auto* bp = (BrickPrefetcher*)p;
+  if (bp->status.load() == 1) return -1;  // busy
+  if (bp->worker.joinable()) bp->worker.join();
+  bp->status.store(1);
+  std::string path_s(path);
+  bp->worker = std::thread([bp, path_s, n_floats]() {
+    bp->buffer.resize((size_t)n_floats);
+    FILE* f = fopen(path_s.c_str(), "rb");
+    if (!f) { bp->status.store(-1); return; }
+    size_t got = fread(bp->buffer.data(), sizeof(float), (size_t)n_floats, f);
+    fclose(f);
+    bp->status.store(got == (size_t)n_floats ? 2 : -1);
+  });
+  return 0;
+}
+
+// Blocks until the prefetched brick is ready, then copies it out.
+int brick_prefetch_finish(void* p, float* out, long long n_floats) {
+  auto* bp = (BrickPrefetcher*)p;
+  if (bp->worker.joinable()) bp->worker.join();
+  if (bp->status.load() != 2) return -1;
+  std::memcpy(out, bp->buffer.data(), (size_t)n_floats * sizeof(float));
+  bp->status.store(0);
+  return 0;
+}
+
+int brick_write(const char* path, const float* data, long long n_floats) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  size_t put = fwrite(data, sizeof(float), (size_t)n_floats, f);
+  fclose(f);
+  return put == (size_t)n_floats ? 0 : -1;
+}
+
+int brick_read(const char* path, float* out, long long n_floats) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  size_t got = fread(out, sizeof(float), (size_t)n_floats, f);
+  fclose(f);
+  return got == (size_t)n_floats ? 0 : -1;
+}
+
+}  // extern "C"

@@ -1,0 +1,219 @@
+"""ctypes bindings for the native host runtime (``native/vpower_host.cpp``).
+
+Provides the C++ data-logistics layer — Gadget-2 legacy binary snapshot
+reading, OpenMP Morton pre-sorting, threaded raw-brick I/O — with a
+build-on-demand ``make`` and graceful ``NativeUnavailable`` fallback so
+the pure-Python/JAX path keeps working without a toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "NativeUnavailable",
+    "native_available",
+    "load_gadget_binary",
+    "morton_argsort",
+    "morton_sort_particles",
+    "BrickPrefetcher",
+    "brick_write_raw",
+    "brick_read_raw",
+]
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libvpower_host.so")
+_lib = None
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.isfile(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception as e:  # no toolchain / build failure
+            raise NativeUnavailable(
+                f"native library missing and build failed: {e}"
+            ) from e
+    lib = ctypes.CDLL(_LIB_PATH)
+
+    c_ll = ctypes.c_longlong
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+    lib.read_gadget_binary.restype = c_ll
+    lib.read_gadget_binary.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.morton_argsort.restype = None
+    lib.morton_argsort.argtypes = [f32p, c_ll, ctypes.c_double, i64p]
+    lib.permute_floats.restype = None
+    lib.permute_floats.argtypes = [f32p, i64p, c_ll, ctypes.c_int, f32p]
+    lib.brick_prefetcher_create.restype = ctypes.c_void_p
+    lib.brick_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+    lib.brick_prefetch_start.restype = ctypes.c_int
+    lib.brick_prefetch_start.argtypes = [ctypes.c_void_p, ctypes.c_char_p, c_ll]
+    lib.brick_prefetch_finish.restype = ctypes.c_int
+    lib.brick_prefetch_finish.argtypes = [ctypes.c_void_p, f32p, c_ll]
+    lib.brick_write.restype = ctypes.c_int
+    lib.brick_write.argtypes = [ctypes.c_char_p, f32p, c_ll]
+    lib.brick_read.restype = ctypes.c_int
+    lib.brick_read.argtypes = [ctypes.c_char_p, f32p, c_ll]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+# ---------------------------------------------------------------------- #
+# Gadget-2 legacy binary snapshots                                       #
+# ---------------------------------------------------------------------- #
+def load_gadget_binary(
+    path: str, snap_format: int = 1
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
+    """Read gas particles from a Gadget-2 SnapFormat 1/2 binary snapshot.
+
+    Returns ``(pos, vel, mass, rho, box_size)`` as host numpy arrays —
+    the legacy-binary sibling of :func:`vpower_tpu.io.load_snapshot`
+    (reference HDF5 path, ``interp.py:84-131``).
+    """
+    lib = _load()
+    box = ctypes.c_double(0.0)
+    n = lib.read_gadget_binary(
+        path.encode(), snap_format, None, None, None, None, ctypes.byref(box)
+    )
+    if n < 0:
+        raise IOError(f"failed to parse Gadget binary snapshot {path!r}")
+    pos = np.empty((n, 3), np.float32)
+    vel = np.empty((n, 3), np.float32)
+    mass = np.empty((n,), np.float32)
+    rho = np.empty((n,), np.float32)
+    n2 = lib.read_gadget_binary(
+        path.encode(), snap_format,
+        pos.ctypes.data_as(ctypes.c_void_p),
+        vel.ctypes.data_as(ctypes.c_void_p),
+        mass.ctypes.data_as(ctypes.c_void_p),
+        rho.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(box),
+    )
+    if n2 != n:
+        raise IOError(f"short read from Gadget binary snapshot {path!r}")
+    return pos, vel, mass, rho, float(box.value)
+
+
+# ---------------------------------------------------------------------- #
+# Morton pre-sort                                                        #
+# ---------------------------------------------------------------------- #
+def morton_argsort(pos: np.ndarray, box_size: float) -> np.ndarray:
+    """(N,) int64 permutation sorting particles into Z-order — the host
+    spatial index that plays the role of the reference's persisted Annoy
+    index (``parallel_optimized.py:297-313``)."""
+    lib = _load()
+    pos = np.ascontiguousarray(pos, np.float32)
+    order = np.empty((pos.shape[0],), np.int64)
+    lib.morton_argsort(pos, pos.shape[0], float(box_size), order)
+    return order
+
+
+def morton_sort_particles(particles):
+    """Return a new Particles object in Morton order (host-side)."""
+    from ..core.particles import Particles
+    import jax.numpy as jnp
+
+    lib = _load()
+    pos = np.ascontiguousarray(np.asarray(particles.pos), np.float32)
+    n = pos.shape[0]
+    order = np.empty((n,), np.int64)
+    lib.morton_argsort(pos, n, float(particles.box_size), order)
+
+    def perm(arr, width):
+        src = np.ascontiguousarray(np.asarray(arr), np.float32).reshape(n, width)
+        out = np.empty_like(src)
+        lib.permute_floats(src, order, n, width, out)
+        return out
+
+    return Particles(
+        pos=jnp.asarray(perm(particles.pos, 3)),
+        mass=jnp.asarray(perm(particles.mass, 1)[:, 0]),
+        density=jnp.asarray(perm(particles.density, 1)[:, 0]),
+        vel=jnp.asarray(perm(particles.vel, 3)),
+        box_size=particles.box_size,
+    )
+
+
+# ---------------------------------------------------------------------- #
+# raw brick I/O with background prefetch                                 #
+# ---------------------------------------------------------------------- #
+class BrickPrefetcher:
+    """Double-buffered raw-brick reader: while the device folds brick i,
+    a worker thread reads brick i+1 from disk — overlapping the
+    reference's sequential ``np.load`` streaming (``interp.py:867-879``).
+    """
+
+    def __init__(self):
+        self._lib = _load()
+        self._handle = self._lib.brick_prefetcher_create()
+
+    def start(self, path: str, n_floats: int) -> None:
+        rc = self._lib.brick_prefetch_start(self._handle, path.encode(),
+                                            n_floats)
+        if rc != 0:
+            raise RuntimeError("prefetcher busy")
+
+    def finish(self, n_floats: int) -> np.ndarray:
+        out = np.empty((n_floats,), np.float32)
+        rc = self._lib.brick_prefetch_finish(self._handle, out, n_floats)
+        if rc != 0:
+            raise IOError("brick prefetch failed")
+        return out
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.brick_prefetcher_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def brick_write_raw(path: str, data: np.ndarray) -> None:
+    lib = _load()
+    flat = np.ascontiguousarray(data, np.float32).ravel()
+    if lib.brick_write(path.encode(), flat, flat.size) != 0:
+        raise IOError(f"failed to write brick {path!r}")
+
+
+def brick_read_raw(path: str, n_floats: int) -> np.ndarray:
+    lib = _load()
+    out = np.empty((n_floats,), np.float32)
+    if lib.brick_read(path.encode(), out, n_floats) != 0:
+        raise IOError(f"failed to read brick {path!r}")
+    return out

@@ -1,3 +1,4 @@
+from .profiling import StageTimer, Progress, trace, sync, log
 from .checks import ConservationReport, check_conservation
 from .plotting import (
     plot_density_slice,
@@ -9,6 +10,7 @@ from .plotting import (
 
 __all__ = [
     "ConservationReport", "check_conservation",
+    "StageTimer", "Progress", "trace", "sync", "log",
     "plot_density_slice", "plot_velocity_slice", "peek_field",
     "plot_spectrum", "peek_spectrum",
 ]
