@@ -27,6 +27,8 @@ def _toy_field(key, n, box=1.0):
 
 def _store_from_field(tmp_path, field, nbrick):
     """Slice an in-memory field into a BrickStore (fold path test rig)."""
+    import os
+    os.makedirs(str(tmp_path), exist_ok=True)
     n = field.n_grid
     nb = n // nbrick
     store = BrickStore(str(tmp_path), nbrick, nb, field.box_size / nbrick)
@@ -109,3 +111,32 @@ def test_from_particles_brick_interp(tmp_path):
             np.asarray(brick.velocity), np.asarray(full.velocity[sl]),
             rtol=1e-5,
         )
+
+
+def test_raw_format_with_prefetch(tmp_path):
+    """Raw-format bricks + native prefetcher fold == npz fold."""
+    from vpower_tpu.io import native
+
+    if not native.native_available():
+        import pytest
+        pytest.skip("native runtime unavailable")
+    field = _toy_field(jax.random.PRNGKey(7), 16, box=1.0)
+    field = BoxField(velocity=field.velocity.astype(jnp.float32),
+                     mass=field.mass.astype(jnp.float32),
+                     cell_size=field.cell_size)
+    s_npz = _store_from_field(tmp_path / "npz", field, 2)
+    s_raw = BrickStore(str(tmp_path / "raw"), 2, 8, 0.5, fmt="raw")
+    import os
+    os.makedirs(s_raw.directory, exist_ok=True)
+    for r in range(2):
+        for s in range(2):
+            for t in range(2):
+                s_raw.save_brick(r, s, t, s_npz[r, s, t])
+    s_raw.save()
+    s_raw2 = BrickStore.load(s_raw.directory)
+    assert s_raw2.fmt == "raw"
+    f_npz = s_npz.fold(2, (1, 0, 1))
+    f_raw = s_raw2.fold(2, (1, 0, 1))
+    np.testing.assert_allclose(
+        np.asarray(f_raw.field), np.asarray(f_npz.field), rtol=1e-6
+    )

@@ -203,28 +203,64 @@ def _coarsest_exact(seed_idx, seed_pos, n_grid, box_size, periodic, big):
     return best_idx, best_pos, best_d2
 
 
+def _top_k_candidates(cands, k, big):
+    """Select the k lowest-d2 candidates from a list of (idx, pos, d2)
+    tuples with pure where-chains (no argsort / gathers — those cost
+    seconds per level at 512^3).  Winners are masked out by (d2, idx)
+    identity between rounds."""
+    cands = [list(c) for c in cands]
+    out = []
+    for _ in range(k):
+        bi, bp, bd = cands[0]
+        for ci, cp, cd in cands[1:]:
+            take = cd < bd
+            bi = jnp.where(take, ci, bi)
+            bp = jnp.where(take[None], cp, bp)
+            bd = jnp.where(take, cd, bd)
+        out.append((bi, bp, bd))
+        # mask the winner out of its source candidate (first match only)
+        found = None
+        for c in cands:
+            hit = (c[2] == bd) & (c[0] == bi)
+            if found is not None:
+                hit = hit & ~found
+            found = hit if found is None else (found | hit)
+            c[2] = jnp.where(hit, big, c[2])
+    return out
+
+
 def _pool_seeds(seed_idx, seed_pos, coarse_dist2, n_seeds, big):
     """Min-pool seed candidates over 2x2x2 blocks, re-scored against the
     COARSE cell centers, keeping the ``n_seeds`` best per coarse cell.
 
-    Strided slices + candidate-axis concats — never a reshape that
-    leaves a tiny trailing dimension (the TPU (8, 128) tile pads it)."""
-    si, sp = seed_idx, seed_pos  # (k,n,n,n), (k,3,n,n,n)
-    for ax_i, ax_p in ((1, 2), (2, 3), (3, 4)):
+    Strided slices + candidate lists — never a reshape that leaves a
+    tiny trailing dimension (the TPU (8, 128) tile pads it), never an
+    argsort (a (8k, n^3) argsort + gather costs ~2.5 s at 512^3)."""
+    k = seed_idx.shape[0]
+    cands = [(seed_idx[i], seed_pos[i]) for i in range(k)]
+    for ax in (0, 1, 2):
         def halves(x, axis):
             even = [slice(None)] * x.ndim
             odd = [slice(None)] * x.ndim
             even[axis] = slice(0, None, 2)
             odd[axis] = slice(1, None, 2)
-            return jnp.concatenate([x[tuple(even)], x[tuple(odd)]], axis=0)
+            return x[tuple(even)], x[tuple(odd)]
 
-        si = halves(si, ax_i)
-        sp = halves(sp, ax_p)
-    sd = jnp.where(si >= 0, jax.vmap(coarse_dist2)(sp), big)
-    order = jnp.argsort(sd, axis=0)[:n_seeds]
+        nxt = []
+        for ci, cp in cands:
+            ie, io = halves(ci, ax)
+            pe, po = halves(cp, ax + 1)
+            nxt.append((ie, pe))
+            nxt.append((io, po))
+        cands = nxt
+    scored = [
+        (ci, cp, jnp.where(ci >= 0, coarse_dist2(cp), big))
+        for ci, cp in cands
+    ]
+    top = _top_k_candidates(scored, n_seeds, big)
     return (
-        jnp.take_along_axis(si, order, axis=0),
-        jnp.take_along_axis(sp, order[:, None], axis=0),
+        jnp.stack([t[0] for t in top]),
+        jnp.stack([t[1] for t in top]),
     )
 
 
@@ -381,15 +417,18 @@ def nn_assign(
         si, sp = seeds.pop(n)
         # the kernel's z axis must fill whole 128-lane tiles
         if use_pallas and n % 128 == 0:
-            from .nn_pallas import sweep_tiles
+            from .nn_pallas import sweep_tiles, wrap_pad
 
-            sp_flat = sp.reshape(si.shape[0] * 3, n, n, n)
+            # pad the (unchanging) seed fields once for all passes
+            ki_p = wrap_pad(si, 1)
+            kp_p = wrap_pad(sp.reshape(si.shape[0] * 3, n, n, n), 1)
             # the kernel compares candidates in parallel (no in-pass
             # chaining like the scan sweep), so give it one extra pass —
             # each pass is a single cheap HBM sweep
             for _ in range(rounds + 1):
                 bi, bp, _ = sweep_tiles(
-                    bi, bp, si, sp_flat, float(box_size), periodic=periodic,
+                    bi, bp, ki_p, kp_p, float(box_size), periodic=periodic,
+                    seeds_prepadded=True,
                 )
             bd = jnp.where(bi >= 0, dist2_at[n](bp), big)
             state = (bi, bp, bd)

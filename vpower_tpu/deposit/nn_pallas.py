@@ -165,8 +165,10 @@ def _sweep_kernel(
     out_pos[2, :, :, :] = best_p[2]
 
 
-def _wrap_pad(x: jax.Array, spatial_start: int) -> jax.Array:
-    """Periodic pad: x/y by _HALO, z by _ZHALO."""
+def wrap_pad(x: jax.Array, spatial_start: int) -> jax.Array:
+    """Periodic pad for the sweep kernel: x/y by _HALO, z by _ZHALO.
+    Exposed so callers invoking the kernel repeatedly can pad the
+    (unchanging) seed fields once."""
     pad = [(0, 0)] * x.ndim
     pad[spatial_start] = (_HALO, _HALO)
     pad[spatial_start + 1] = (_HALO, _HALO)
@@ -177,19 +179,20 @@ def _wrap_pad(x: jax.Array, spatial_start: int) -> jax.Array:
 @partial(
     jax.jit,
     static_argnames=("box_size", "periodic", "tile", "zc", "strides",
-                     "interpret"),
+                     "interpret", "seeds_prepadded"),
 )
 def sweep_tiles(
     state_idx: jax.Array,   # (N, N, N) i32
     state_pos: jax.Array,   # (3, N, N, N) f32 channels-first
-    seed_idx: jax.Array,    # (k, N, N, N) i32
-    seed_pos: jax.Array,    # (3k, N, N, N) f32
+    seed_idx: jax.Array,    # (k, N, N, N) i32 (or pre-padded)
+    seed_pos: jax.Array,    # (3k, N, N, N) f32 (or pre-padded)
     box_size: float,
     periodic: bool = True,
     tile: int = 8,
     zc: int = 128,
     strides: Tuple[int, ...] = (2, 1),
     interpret: bool = False,
+    seeds_prepadded: bool = False,
 ):
     """One fused sweep pass.  Returns (best_idx, best_pos, best_d2) with
     best_pos channels-first.  Requires N to be a multiple of 128 (lane
@@ -203,10 +206,13 @@ def sweep_tiles(
     h, hz = _HALO, _ZHALO
     w, wz = tile + 2 * h, zc + 2 * hz
 
-    si_p = _wrap_pad(state_idx, 0)
-    sp_p = _wrap_pad(state_pos, 1)
-    ki_p = _wrap_pad(seed_idx, 1)
-    kp_p = _wrap_pad(seed_pos, 1)
+    si_p = wrap_pad(state_idx, 0)
+    sp_p = wrap_pad(state_pos, 1)
+    if seeds_prepadded:
+        ki_p, kp_p = seed_idx, seed_pos
+    else:
+        ki_p = wrap_pad(seed_idx, 1)
+        kp_p = wrap_pad(seed_pos, 1)
 
     kernel = partial(
         _sweep_kernel,

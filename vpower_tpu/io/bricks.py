@@ -41,12 +41,19 @@ def _brick_path(d: str, r: int, s: int, t: int) -> str:
 
 @dataclasses.dataclass
 class BrickStore:
-    """nbrick^3 bricks of n_brick^3 cells each on disk."""
+    """nbrick^3 bricks of n_brick^3 cells each on disk.
+
+    ``fmt='npz'`` stores compressed-compatible .npz; ``fmt='raw'``
+    stores flat float32 [v, mass] blocks readable by the native
+    threaded prefetcher (:mod:`vpower_tpu.io.native`), letting the
+    streaming fold overlap disk reads with device compute.
+    """
 
     directory: str
     nbrick: int
     n_brick: int
     brick_size: float  # box length of one brick
+    fmt: str = "npz"
 
     @property
     def total_n(self) -> int:
@@ -68,6 +75,7 @@ class BrickStore:
         n_brick: int,
         method: str = "nn",
         margin_cells: int = 4,
+        fmt: str = "npz",
         **deposit_kwargs,
     ) -> "BrickStore":
         """Interpolate particles brick by brick (the repaired
@@ -85,7 +93,7 @@ class BrickStore:
 
         pos = np.asarray(particles.pos)
         h = np.asarray(particles.smoothing_length())
-        store = cls(directory, nbrick, n_brick, brick_size)
+        store = cls(directory, nbrick, n_brick, brick_size, fmt)
         for r in range(nbrick):
             for s in range(nbrick):
                 for t in range(nbrick):
@@ -115,22 +123,87 @@ class BrickStore:
     # ------------------------------------------------------------------ #
     # persistence                                                        #
     # ------------------------------------------------------------------ #
+    def _raw_path(self, r: int, s: int, t: int) -> str:
+        return os.path.join(self.directory, f"brick_field_loc{r}_{s}_{t}.bin")
+
+    @property
+    def _floats_per_brick(self) -> int:
+        return self.n_brick**3 * 4  # [vx, vy, vz, mass]
+
     def save_brick(self, r: int, s: int, t: int, field: BoxField) -> None:
+        if self.fmt == "raw":
+            from . import native
+
+            data = np.concatenate(
+                [np.asarray(field.velocity),
+                 np.asarray(field.mass)[..., None]], axis=-1,
+            )
+            native.brick_write_raw(self._raw_path(r, s, t), data)
+            return
         np.savez(
             _brick_path(self.directory, r, s, t),
             velocity=np.asarray(field.velocity),
             mass=np.asarray(field.mass),
         )
 
+    def _field_from_flat(self, flat: np.ndarray) -> BoxField:
+        nb = self.n_brick
+        data = flat.reshape(nb, nb, nb, 4)
+        return BoxField(
+            velocity=jnp.asarray(data[..., :3]),
+            mass=jnp.asarray(data[..., 3]),
+            cell_size=self.brick_size / self.n_brick,
+        )
+
     def __getitem__(self, loc: Tuple[int, int, int]) -> BoxField:
         """Lazy brick load (reference ``interp.py:867-879``)."""
         r, s, t = loc
+        if self.fmt == "raw":
+            from . import native
+
+            return self._field_from_flat(
+                native.brick_read_raw(self._raw_path(r, s, t),
+                                      self._floats_per_brick)
+            )
         with np.load(_brick_path(self.directory, r, s, t)) as z:
             return BoxField(
                 velocity=jnp.asarray(z["velocity"]),
                 mass=jnp.asarray(z["mass"]),
                 cell_size=self.brick_size / self.n_brick,
             )
+
+    def _brick_stream(self):
+        """Yield bricks in (r, s, t) order; with fmt='raw' and the native
+        runtime present, brick i+1 is prefetched on a worker thread while
+        brick i is processed (the async replacement for the reference's
+        sequential np.load loop, ``interp.py:900-907``)."""
+        locs = [
+            (r, s, t)
+            for r in range(self.nbrick)
+            for s in range(self.nbrick)
+            for t in range(self.nbrick)
+        ]
+        if self.fmt != "raw":
+            for loc in locs:
+                yield loc, self[loc]
+            return
+        from . import native
+
+        if not native.native_available():
+            for loc in locs:
+                yield loc, self[loc]
+            return
+        pf = native.BrickPrefetcher()
+        try:
+            pf.start(self._raw_path(*locs[0]), self._floats_per_brick)
+            for i, loc in enumerate(locs):
+                flat = pf.finish(self._floats_per_brick)
+                if i + 1 < len(locs):
+                    pf.start(self._raw_path(*locs[i + 1]),
+                             self._floats_per_brick)
+                yield loc, self._field_from_flat(flat)
+        finally:
+            pf.close()
 
     def save(self) -> None:
         with open(os.path.join(self.directory, "brick_decomp.json"), "w") as f:
@@ -139,6 +212,7 @@ class BrickStore:
                     "nbrick": self.nbrick,
                     "n_brick": self.n_brick,
                     "brick_size": self.brick_size,
+                    "fmt": self.fmt,
                 },
                 f,
             )
@@ -148,7 +222,7 @@ class BrickStore:
         with open(os.path.join(directory, "brick_decomp.json")) as f:
             meta = json.load(f)
         return cls(directory, meta["nbrick"], meta["n_brick"],
-                   meta["brick_size"])
+                   meta["brick_size"], meta.get("fmt", "npz"))
 
     # ------------------------------------------------------------------ #
     # streaming fold                                                     #
@@ -187,42 +261,39 @@ class BrickStore:
         )
         total_n_eff = self.total_n // n_down
 
-        for r in range(self.nbrick):
-            for s in range(self.nbrick):
-                for t in range(self.nbrick):
-                    brick = self[r, s, t]
-                    if n_down > 1:
-                        brick = brick.down_sample(n_down)
-                    nb = brick.n_grid
-                    if quantity == "velocity":
-                        data = brick.velocity
-                    elif quantity == "momentum":
-                        data = brick.momentum()
-                    elif quantity == "energy":
-                        data = brick.kinetic_energy()
-                    else:
-                        raise ValueError(f"Unsupported quantity {quantity!r}")
-                    phase = get_phase(
-                        beta,
-                        total_n=total_n_eff,
-                        n_local=nb,
-                        offset=(r * nb, s * nb, t * nb),
-                    )
-                    phased = apply_phase(data.astype(jnp.complex64), phase)
-                    if m >= self.nbrick:
-                        # fold-stitch: brick folds internally
-                        assert m % self.nbrick == 0, \
-                            "m must be a multiple of nbrick for fold-stitch"
-                        acc = acc + fold_field(phased, m // self.nbrick)
-                    else:
-                        # stitch-fold: phased brick lands in its mosaic slot
-                        u = self.nbrick // m
-                        w = n_result // u
-                        acc = acc.at[
-                            (r % u) * w:(r % u + 1) * w,
-                            (s % u) * w:(s % u + 1) * w,
-                            (t % u) * w:(t % u + 1) * w,
-                        ].add(phased)
+        for (r, s, t), brick in self._brick_stream():
+            if n_down > 1:
+                brick = brick.down_sample(n_down)
+            nb = brick.n_grid
+            if quantity == "velocity":
+                data = brick.velocity
+            elif quantity == "momentum":
+                data = brick.momentum()
+            elif quantity == "energy":
+                data = brick.kinetic_energy()
+            else:
+                raise ValueError(f"Unsupported quantity {quantity!r}")
+            phase = get_phase(
+                beta,
+                total_n=total_n_eff,
+                n_local=nb,
+                offset=(r * nb, s * nb, t * nb),
+            )
+            phased = apply_phase(data.astype(jnp.complex64), phase)
+            if m >= self.nbrick:
+                # fold-stitch: brick folds internally
+                assert m % self.nbrick == 0, \
+                    "m must be a multiple of nbrick for fold-stitch"
+                acc = acc + fold_field(phased, m // self.nbrick)
+            else:
+                # stitch-fold: phased brick lands in its mosaic slot
+                u = self.nbrick // m
+                w = n_result // u
+                acc = acc.at[
+                    (r % u) * w:(r % u + 1) * w,
+                    (s % u) * w:(s % u + 1) * w,
+                    (t % u) * w:(t % u + 1) * w,
+                ].add(phased)
 
         acc = acc / m**1.5
         return FoldedField(

@@ -15,6 +15,7 @@ from .spectrum import (
     empty_spectrum_like,
     init_beta_space,
     random_beta_sequence,
+    high_pass_filter_2d,
 )
 from . import fold
 
@@ -24,5 +25,6 @@ __all__ = [
     "bin_grid", "shell_bin", "default_k_bins",
     "PowerSpectrum", "SpectrumList", "relative_diff",
     "empty_spectrum_like", "init_beta_space", "random_beta_sequence",
+    "high_pass_filter_2d",
     "fold",
 ]

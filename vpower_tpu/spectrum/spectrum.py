@@ -30,7 +30,27 @@ __all__ = [
     "empty_spectrum_like",
     "init_beta_space",
     "random_beta_sequence",
+    "high_pass_filter_2d",
 ]
+
+
+def high_pass_filter_2d(field: np.ndarray, box_size: float,
+                        low_k: float = None) -> np.ndarray:
+    """Zero modes below ``low_k`` in a CENTERED (fftshifted) 2-D Fourier
+    image (reference ``spctrm.py:28-49``, kept for parity; the reference
+    marks it "not very useful")."""
+    field = np.asarray(field).copy()
+    dk = 2 * np.pi / box_size
+    n = len(field)
+    if low_k is None:
+        cell = box_size / n
+        low_k = 2 * np.pi / cell
+    pixel_rad = low_k // dk
+    grid = np.arange(n)
+    x, y = np.meshgrid(grid, grid, indexing="ij")
+    mask = (x - n // 2) ** 2 + (y - n // 2) ** 2 <= pixel_rad**2
+    field[mask] = 0
+    return field
 
 _NO_BETA = (-1, -1, -1)
 
