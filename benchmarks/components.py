@@ -82,7 +82,7 @@ def main(argv=None):
     t, idx = timed(jax.jit(lambda p: nn_assign(p, N, 1.0)), pos)
     report("nn_assign", t, N**3, "queries")
 
-    v_grid = jax.random.normal(jax.random.PRNGKey(1), (N, N, N, 3), jnp.float32)
+    v_grid = jax.random.normal(jax.random.PRNGKey(1), (3, N, N, N), jnp.float32)
     t, p_grid = timed(jax.jit(lambda v: vector_power(v, 1.0)), v_grid)
     report("vector_power_3xFFT", t, 3 * N**3, "modes")
 

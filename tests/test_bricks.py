@@ -19,7 +19,7 @@ from vpower_tpu.spectrum import fold as fold_mod
 def _toy_field(key, n, box=1.0):
     kv, km = jax.random.split(key)
     return BoxField(
-        velocity=jax.random.normal(kv, (n, n, n, 3), jnp.float32),
+        velocity=jax.random.normal(kv, (3, n, n, n), jnp.float32),
         mass=jax.random.uniform(km, (n, n, n), jnp.float32) + 0.5,
         cell_size=box / n,
     )
@@ -40,7 +40,8 @@ def _store_from_field(tmp_path, field, nbrick):
                       slice(t * nb, (t + 1) * nb))
                 store.save_brick(
                     r, s, t,
-                    BoxField(velocity=field.velocity[sl], mass=field.mass[sl],
+                    BoxField(velocity=field.velocity[(slice(None),) + sl],
+                             mass=field.mass[sl],
                              cell_size=field.cell_size),
                 )
     store.save()
@@ -84,7 +85,7 @@ def test_streaming_fold_downsample(tmp_path):
     field = _toy_field(jax.random.PRNGKey(2), 16)
     store = _store_from_field(tmp_path, field, 2)
     folded = store.fold(2, (0, 0, 0), n_result=4)  # total 16, m=2, down 2
-    assert folded.field.shape == (4, 4, 4, 3)
+    assert folded.field.shape == (3, 4, 4, 4)
     reference = fold_mod.fold_box_field(field.down_sample(2), 2, (0, 0, 0))
     np.testing.assert_allclose(
         np.asarray(folded.field), np.asarray(reference.field),
@@ -108,7 +109,8 @@ def test_from_particles_brick_interp(tmp_path):
         sl = (slice(r * 8, (r + 1) * 8), slice(s * 8, (s + 1) * 8),
               slice(t * 8, (t + 1) * 8))
         np.testing.assert_allclose(
-            np.asarray(brick.velocity), np.asarray(full.velocity[sl]),
+            np.asarray(brick.velocity),
+            np.asarray(full.velocity[(slice(None),) + sl]),
             rtol=1e-5,
         )
 

@@ -44,7 +44,9 @@ def test_ngp_vector_values():
     cell = box / n_grid
     idx = (np.asarray(p.pos) // cell).astype(int) % n_grid
     np.add.at(ref, (idx[:, 0], idx[:, 1], idx[:, 2]), vals)
-    np.testing.assert_allclose(grid, ref, rtol=1e-12, atol=1e-12)
+    # grid is channels-first
+    np.testing.assert_allclose(grid, np.moveaxis(ref, -1, 0),
+                               rtol=1e-12, atol=1e-12)
 
 
 def test_cic_conserves_and_matches_bruteforce():
@@ -101,7 +103,9 @@ def test_one_particle_per_cell_roundtrip():
     n_grid = 8
     p = synthetic_particles(key, n_grid, box_size=1.0, dtype=jnp.float64)
     field = deposit(p, n_grid, method="ngp")
-    vel = np.asarray(p.vel).reshape(n_grid, n_grid, n_grid, 3)
+    vel = np.moveaxis(
+        np.asarray(p.vel).reshape(n_grid, n_grid, n_grid, 3), -1, 0
+    )
     np.testing.assert_allclose(np.asarray(field.velocity), vel, rtol=1e-12)
     rep = check_conservation(p, field)
     assert abs(rep.kinetic_energy - 1.0) < 1e-12

@@ -25,7 +25,7 @@ from vpower_tpu.spectrum.power import (
 def _toy_field(key, n, box=1.0, dtype=jnp.float64):
     kv, km = jax.random.split(key)
     return BoxField(
-        velocity=jax.random.normal(kv, (n, n, n, 3), dtype),
+        velocity=jax.random.normal(kv, (3, n, n, n), dtype),
         mass=jax.random.uniform(km, (n, n, n), dtype) + 0.5,
         cell_size=box / n,
     )
@@ -58,11 +58,11 @@ def test_interlacing_identity_for_bandlimited_field():
     x = (jnp.arange(n)) / n * box
     k0 = 2 * jnp.pi * 3 / box
     vx = jnp.sin(k0 * x)[:, None, None] * jnp.ones((1, n, n))
-    v = jnp.stack([vx, 0 * vx, 0 * vx], axis=-1).astype(jnp.float64)
+    v = jnp.stack([vx, 0 * vx, 0 * vx], axis=0).astype(jnp.float64)
     # same field deposited at shifted positions == sampled at x + cell/2
     xs = x + box / n / 2
     vxs = jnp.sin(k0 * xs)[:, None, None] * jnp.ones((1, n, n))
-    vs = jnp.stack([vxs, 0 * vxs, 0 * vxs], axis=-1).astype(jnp.float64)
+    vs = jnp.stack([vxs, 0 * vxs, 0 * vxs], axis=0).astype(jnp.float64)
     p_plain = np.asarray(vector_power(v, box))
     p_inter = np.asarray(interlaced_vector_power(v, vs, box))
     hot = np.unravel_index(np.argmax(p_plain), p_plain.shape)

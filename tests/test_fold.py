@@ -40,24 +40,24 @@ def test_get_phase_matches_reference():
 
 def test_fold_field_matches_block_loop():
     """fold_field reshape-reduction == reference's m^3 block loop
-    (interp.py:1227-1252)."""
+    (interp.py:1227-1252) — channels-first."""
     key = jax.random.PRNGKey(0)
-    f = jax.random.normal(key, (12, 12, 12, 3), jnp.float64)
+    f = jax.random.normal(key, (3, 12, 12, 12), jnp.float64)
     m = 3
     ours = np.asarray(fold_mod.fold_field(f, m))
     fn = np.asarray(f)
     nb = 12 // m
-    ref = np.zeros((nb, nb, nb, 3))
+    ref = np.zeros((3, nb, nb, nb))
     for i in range(m):
         for j in range(m):
             for k in range(m):
-                ref += fn[i*nb:(i+1)*nb, j*nb:(j+1)*nb, k*nb:(k+1)*nb, :]
+                ref += fn[:, i*nb:(i+1)*nb, j*nb:(j+1)*nb, k*nb:(k+1)*nb]
     np.testing.assert_allclose(ours, ref, rtol=1e-13)
 
 
 def _toy_field(key, n_grid, box=1.0, dtype=jnp.float64):
     kv, km = jax.random.split(key)
-    v = jax.random.normal(kv, (n_grid, n_grid, n_grid, 3), dtype)
+    v = jax.random.normal(kv, (3, n_grid, n_grid, n_grid), dtype)
     mass = jax.random.uniform(km, (n_grid, n_grid, n_grid), dtype) + 0.5
     return BoxField(velocity=v, mass=mass, cell_size=box / n_grid)
 

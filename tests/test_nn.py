@@ -90,7 +90,7 @@ def test_nn_field_reference_semantics():
     n_grid = 8
     field = nn_interp_to_field(particles, n_grid, periodic=False)
     idx = np.asarray(nn_brute_force(particles.pos, n_grid, 1.0, periodic=False))
-    vel = np.asarray(particles.vel)[idx]
+    vel = np.moveaxis(np.asarray(particles.vel)[idx], -1, 0)
     rho = np.asarray(particles.density)[idx]
     np.testing.assert_allclose(np.asarray(field.velocity), vel, rtol=1e-5)
     np.testing.assert_allclose(
@@ -114,7 +114,7 @@ def test_deposit_dispatch_nn():
 
     p = synthetic_particles(jax.random.PRNGKey(4), 8, jitter=0.2)
     field = deposit(p, 8, method="nn")
-    assert field.velocity.shape == (8, 8, 8, 3)
+    assert field.velocity.shape == (3, 8, 8, 8)
     # one particle per cell at jitter<0.5 -> exact velocity restoration
-    vel = np.asarray(p.vel).reshape(8, 8, 8, 3)
+    vel = np.moveaxis(np.asarray(p.vel).reshape(8, 8, 8, 3), -1, 0)
     np.testing.assert_allclose(np.asarray(field.velocity), vel, rtol=1e-5)

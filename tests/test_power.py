@@ -13,11 +13,12 @@ from vpower_tpu.spectrum import power as pw
 # (vpower/interp.py:1372-1481, scripts/parallel_optimized.py:145-190)
 # ----------------------------------------------------------------------
 def np_vector_power(v, box_size):
-    n = v.shape[0]
+    # channels-first (C, N, N, N)
+    n = v.shape[-1]
     a = (box_size / (2 * np.pi)) ** 1.5 / n**3
     p = np.zeros((n, n, n))
-    for c in range(v.shape[-1]):
-        fk = np.fft.fftn(v[..., c].astype(np.float64)) * a
+    for c in range(v.shape[0]):
+        fk = np.fft.fftn(v[c].astype(np.float64)) * a
         p += 0.5 * np.abs(fk) ** 2
     return p
 
@@ -49,10 +50,10 @@ def test_parseval_vector_power():
     interp.py:1377-1381 normalization contract)."""
     key = jax.random.PRNGKey(0)
     n, box = 32, 2.7
-    v = jax.random.normal(key, (n, n, n, 3), jnp.float64)
+    v = jax.random.normal(key, (3, n, n, n), jnp.float64)
     p = pw.vector_power(v, box)
     lhs = float(jnp.sum(p) * (2 * jnp.pi / box) ** 3)
-    rhs = float(0.5 * jnp.mean(jnp.sum(v**2, axis=-1)))
+    rhs = float(0.5 * jnp.mean(jnp.sum(v**2, axis=0)))
     assert abs(lhs - rhs) / rhs < 1e-12
 
 
@@ -69,7 +70,7 @@ def test_parseval_scalar_power():
 def test_vector_power_matches_numpy_mirror():
     key = jax.random.PRNGKey(2)
     n, box = 16, 3.1
-    v = jax.random.normal(key, (n, n, n, 3), jnp.float64)
+    v = jax.random.normal(key, (3, n, n, n), jnp.float64)
     ours = np.asarray(pw.vector_power(v, box))
     ref = np_vector_power(np.asarray(v), box)
     np.testing.assert_allclose(ours, ref, rtol=1e-12, atol=1e-14)
@@ -83,7 +84,7 @@ def test_single_sine_wave_lands_in_one_bin():
     x = (jnp.arange(n) + 0.0) / n * box
     k0 = 2 * jnp.pi * mode / box
     vx = jnp.sin(k0 * x)[:, None, None] * jnp.ones((1, n, n))
-    v = jnp.stack([vx, jnp.zeros_like(vx), jnp.zeros_like(vx)], axis=-1)
+    v = jnp.stack([vx, jnp.zeros_like(vx), jnp.zeros_like(vx)], axis=0)
     p = pw.vector_power(v.astype(jnp.float64), box)
     k, psum, nsamp = pw.shell_bin(p, box)
     psum = np.asarray(psum)
@@ -95,7 +96,7 @@ def test_single_sine_wave_lands_in_one_bin():
 
 def test_uniform_field_is_dc_only():
     n, box = 16, 1.0
-    v = jnp.ones((n, n, n, 3), jnp.float64) * 2.5
+    v = jnp.ones((3, n, n, n), jnp.float64) * 2.5
     p = pw.vector_power(v, box)
     # all power at k=0, which falls below kmin and is dropped by binning
     k, psum, nsamp = pw.shell_bin(p, box)

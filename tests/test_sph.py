@@ -40,10 +40,10 @@ def test_mass_conservation_exact(kernel):
     h = p.smoothing_length()
     grid = sph_deposit(p.pos, values, h, 16, 1.0, kernel=kernel)
     np.testing.assert_allclose(
-        np.asarray(grid[..., 0]).sum(), float(p.mass.sum()), rtol=1e-5
+        np.asarray(grid[0]).sum(), float(p.mass.sum()), rtol=1e-5
     )
     np.testing.assert_allclose(
-        np.asarray(grid[..., 1]).sum(), float((p.mass * p.vel[:, 0]).sum()),
+        np.asarray(grid[1]).sum(), float((p.mass * p.vel[:, 0]).sum()),
         rtol=1e-4,
     )
 
@@ -53,7 +53,7 @@ def test_tiny_h_falls_back_to_ngp():
     pos = jnp.array([[0.31, 0.44, 0.62]], jnp.float32)
     values = jnp.array([[2.0]], jnp.float32)
     h = jnp.array([1e-9], jnp.float32)
-    grid = np.asarray(sph_deposit(pos, values, h, 8, 1.0)[..., 0])
+    grid = np.asarray(sph_deposit(pos, values, h, 8, 1.0)[0])
     assert grid.sum() == pytest.approx(2.0, rel=1e-6)
     assert grid[2, 3, 4] == pytest.approx(2.0, rel=1e-6)
 
@@ -67,7 +67,7 @@ def test_kernel_locality():
                     jnp.float32)
     values = jnp.array([[1.0]], jnp.float32)
     h = jnp.array([cell], jnp.float32)
-    grid = np.asarray(sph_deposit(pos, values, h, n, 1.0)[..., 0])
+    grid = np.asarray(sph_deposit(pos, values, h, n, 1.0)[0])
     own = (4, 4, 4)
     mask = np.zeros_like(grid, bool)
     mask[3:6, 3:6, 3:6] = True
@@ -91,6 +91,6 @@ def test_periodic_wrap_spreads_across_boundary():
     pos = jnp.array([[0.01, 0.5, 0.5]], jnp.float32)  # near x=0 face
     values = jnp.array([[1.0]], jnp.float32)
     h = jnp.array([2.0 / n], jnp.float32)
-    grid = np.asarray(sph_deposit(pos, values, h, n, 1.0, periodic=True)[..., 0])
+    grid = np.asarray(sph_deposit(pos, values, h, n, 1.0, periodic=True)[0])
     assert grid[-1].sum() > 0  # wrapped contribution at x = n-1
     np.testing.assert_allclose(grid.sum(), 1.0, rtol=1e-5)

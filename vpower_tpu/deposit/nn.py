@@ -495,9 +495,12 @@ def nn_interp_to_field(
         refine_radius=2 if exact else 0,
     )
     vec = particles.density_velocity_vector()
-    grid = vec[idx]  # (N, N, N, 4) gather
+    grid = vec[idx]  # (N, N, N, 4) gather — fused into the stack below
     rho = grid[..., 3]
     safe = jnp.where(rho > 0, rho, 1.0)
-    v_grid = jnp.where(rho[..., None] > 0, grid[..., :3] / safe[..., None], 0.0)
+    valid = rho > 0
+    v_grid = jnp.stack([
+        jnp.where(valid, grid[..., c] / safe, 0.0) for c in range(3)
+    ])  # CHANNELS-FIRST (TPU layout, see core.field)
     cell = particles.box_size / n_grid
     return BoxField(velocity=v_grid, mass=rho * cell**3, cell_size=cell)

@@ -1,5 +1,8 @@
 """Point deposition (scatter) kernels: NGP and CIC.
 
+Multi-channel outputs are CHANNELS-FIRST (C, N, N, N) — see
+:mod:`vpower_tpu.core.field` for the TPU layout rationale.
+
 TPU-native re-design of the reference's ``deposit_to_grid``
 (``vpower/interp.py:996-1015``, ``np.add.at`` scatter).  TPUs have no
 float atomics, so the scatter is expressed as a sort-free XLA
@@ -47,10 +50,6 @@ def _segment_deposit(
 ) -> jax.Array:
     """Deterministic scatter-add of ``values`` (N,) or (N, C) into
     ``n_cells`` buckets."""
-    if values.ndim == 1:
-        return jax.ops.segment_sum(
-            values, ids, num_segments=n_cells, indices_are_sorted=sorted_ids
-        )
     return jax.ops.segment_sum(
         values, ids, num_segments=n_cells, indices_are_sorted=sorted_ids
     )
@@ -81,10 +80,11 @@ def deposit_ngp(
         ids = ids[order]
         values = values[order]
     grid = _segment_deposit(values, ids, n_grid**3, sort)
-    shape = (n_grid, n_grid, n_grid)
     if values.ndim == 2:
-        shape = shape + (values.shape[1],)
-    return grid.reshape(shape)
+        # CHANNELS-FIRST output: a trailing small channel dim in a
+        # materialized TPU layout pads to 128 lanes (~43x HBM)
+        return grid.T.reshape((values.shape[1],) + (n_grid,) * 3)
+    return grid.reshape((n_grid,) * 3)
 
 
 def deposit_cic(
@@ -136,7 +136,7 @@ def deposit_cic(
     grid = jax.ops.segment_sum(
         vals, ids, num_segments=n_grid**3, indices_are_sorted=sort
     )
-    grid = grid.reshape((n_grid, n_grid, n_grid, values.shape[1]))
+    grid = grid.T.reshape((values.shape[1],) + (n_grid,) * 3)
     if squeeze:
-        grid = grid[..., 0]
+        grid = grid[0]
     return grid

@@ -88,8 +88,9 @@ def sph_deposit(
     periodic: bool = True,
 ) -> jax.Array:
     """Scatter (N, C) ``values`` with per-particle kernel radii ``h``
-    into an (n, n, n, C) grid.  Per-particle weights sum to exactly 1
-    over the sampled footprint, so column sums are conserved."""
+    into a CHANNELS-FIRST (C, n, n, n) grid.  Per-particle weights sum
+    to exactly 1 over the sampled footprint, so column sums are
+    conserved."""
     dtype = pos.dtype
     n_cells = n_grid**3
     cell = box_size / n_grid
@@ -141,7 +142,8 @@ def sph_deposit(
     grid, _ = jax.lax.scan(
         scatter_body, grid, jnp.arange(offsets.shape[0], dtype=jnp.int32)
     )
-    return grid.reshape((n_grid,) * 3 + (values.shape[1],))
+    # CHANNELS-FIRST output (TPU layout, see core.field)
+    return grid.T.reshape((values.shape[1],) + (n_grid,) * 3)
 
 
 def sph_interp_to_field(
@@ -170,9 +172,9 @@ def sph_interp_to_field(
         particles.pos, values, h, n_grid, particles.box_size,
         s_max=s_max, kernel=kernel, periodic=periodic,
     )
-    m_grid = grid[..., 3]
+    m_grid = grid[3]
     safe = jnp.where(m_grid > 0, m_grid, 1.0)
-    v_grid = jnp.where(m_grid[..., None] > 0, grid[..., :3] / safe[..., None], 0.0)
+    v_grid = jnp.where(m_grid[None] > 0, grid[:3] / safe[None], 0.0)
     return BoxField(
         velocity=v_grid, mass=m_grid, cell_size=particles.box_size / n_grid
     )

@@ -76,15 +76,15 @@ def pencil_power_vector(
     n_full: int,
     axis_names: Tuple[str, str] = ("x", "y"),
 ) -> jax.Array:
-    """Power grid of a sharded (.., .., .., C) real or complex vector
-    field: sequential per-component pencil FFTs, ``P = 0.5 sum |a F|^2``
-    (normalization contract of ``_vector_power``, reference
-    ``interp.py:1372-1387``; sequential components as in
-    ``parallel_disk_vector.py:429-440``)."""
+    """Power grid of a sharded CHANNELS-FIRST (C, .., .., ..) real or
+    complex vector field: sequential per-component pencil FFTs,
+    ``P = 0.5 sum |a F|^2`` (normalization contract of
+    ``_vector_power``, reference ``interp.py:1372-1387``; sequential
+    components as in ``parallel_disk_vector.py:429-440``)."""
     a = (box_size / (2.0 * jnp.pi)) ** 1.5 / float(n_full) ** 3
     acc = None
-    for c in range(local_v.shape[-1]):
-        fk = pencil_fftn(local_v[..., c], axis_names)
+    for c in range(local_v.shape[0]):
+        fk = pencil_fftn(local_v[c], axis_names)
         p = 0.5 * (jnp.real(fk) ** 2 + jnp.imag(fk) ** 2)
         acc = p if acc is None else acc + p
     return acc * (a * a)

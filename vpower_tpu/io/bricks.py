@@ -136,7 +136,7 @@ class BrickStore:
 
             data = np.concatenate(
                 [np.asarray(field.velocity),
-                 np.asarray(field.mass)[..., None]], axis=-1,
+                 np.asarray(field.mass)[None]], axis=0,
             )
             native.brick_write_raw(self._raw_path(r, s, t), data)
             return
@@ -148,10 +148,10 @@ class BrickStore:
 
     def _field_from_flat(self, flat: np.ndarray) -> BoxField:
         nb = self.n_brick
-        data = flat.reshape(nb, nb, nb, 4)
+        data = flat.reshape(4, nb, nb, nb)
         return BoxField(
-            velocity=jnp.asarray(data[..., :3]),
-            mass=jnp.asarray(data[..., 3]),
+            velocity=jnp.asarray(data[:3]),
+            mass=jnp.asarray(data[3]),
             cell_size=self.brick_size / self.n_brick,
         )
 
@@ -257,7 +257,7 @@ class BrickStore:
         n_channels = 3 if quantity in ("velocity", "momentum") else 1
         shape = (n_result, n_result, n_result)
         acc = jnp.zeros(
-            shape + ((3,) if n_channels == 3 else ()), jnp.complex64
+            ((3,) if n_channels == 3 else ()) + shape, jnp.complex64
         )
         total_n_eff = self.total_n // n_down
 
@@ -290,6 +290,7 @@ class BrickStore:
                 u = self.nbrick // m
                 w = n_result // u
                 acc = acc.at[
+                    ...,
                     (r % u) * w:(r % u + 1) * w,
                     (s % u) * w:(s % u + 1) * w,
                     (t % u) * w:(t % u + 1) * w,

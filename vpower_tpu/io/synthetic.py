@@ -41,7 +41,7 @@ def gaussian_random_field(
     n_components: int = 3,
     dtype=jnp.float32,
 ) -> jax.Array:
-    """(N, N, N, C) real Gaussian random field with isotropic power
+    """CHANNELS-FIRST (C, N, N, N) real Gaussian random field with isotropic power
     ``P(|k|) ~ amplitude * |k|^spectral_index`` (Kolmogorov-like default,
     matching the turbulence context of the reference,
     ``docs/source/index.rst:10-22``).
@@ -62,7 +62,7 @@ def gaussian_random_field(
         noise = jax.random.normal(sub, (n_grid, n_grid, n_grid), jnp.float32)
         fk = jnp.fft.fftn(noise) * filt
         comps.append(jnp.real(jnp.fft.ifftn(fk)).astype(dtype))
-    return jnp.stack(comps, axis=-1)
+    return jnp.stack(comps, axis=0)  # CHANNELS-FIRST (C, N, N, N)
 
 
 def grid_positions(
@@ -95,12 +95,12 @@ def particles_from_field(
     density: float = 1.0,
     dtype=jnp.float32,
 ) -> Particles:
-    """Sample an (N, N, N, 3) velocity field at particle positions (NGP
-    gather) and return uniform-density particles."""
-    n_grid = field.shape[0]
+    """Sample a channels-first (3, N, N, N) velocity field at particle
+    positions (NGP gather) and return uniform-density particles."""
+    n_grid = field.shape[-1]
     cell = box_size / n_grid
     ijk = jnp.floor(pos / cell).astype(jnp.int32) % n_grid
-    vel = field[ijk[:, 0], ijk[:, 1], ijk[:, 2], :].astype(dtype)
+    vel = field[:, ijk[:, 0], ijk[:, 1], ijk[:, 2]].T.astype(dtype)
     n = pos.shape[0]
     rho = jnp.full((n,), density, dtype)
     # Uniform partition of the total box mass among particles.

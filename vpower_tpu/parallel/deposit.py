@@ -36,7 +36,8 @@ def local_block_info(n_grid: int, axis_names: Tuple[str, str] = ("x", "y")):
 def _scatter_local(ids, values, n_cells, shape):
     grid = jax.ops.segment_sum(values, ids, num_segments=n_cells + 1)[:n_cells]
     if values.ndim == 2:
-        return grid.reshape(shape + (values.shape[1],))
+        # CHANNELS-FIRST output (TPU layout, see core.field)
+        return grid.T.reshape((values.shape[1],) + shape)
     return grid.reshape(shape)
 
 
@@ -110,5 +111,5 @@ def deposit_cic_local(
     vals = jnp.tile(values, (8, 1)) * w[:, None]
     grid = _scatter_local(ids, vals, n_cells, (nlx, nly, nlz))
     if squeeze:
-        grid = grid[..., 0]
+        grid = grid[0]
     return grid

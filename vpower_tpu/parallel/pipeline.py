@@ -39,16 +39,16 @@ __all__ = ["distributed_spectrum", "distributed_folded_sweep"]
 
 
 def _local_quantity(grid4, quantity):
-    """[m vx, m vy, m vz, m] local block -> requested quantity grid."""
-    m_grid = grid4[..., 3]
+    """Channels-first [m vx, m vy, m vz, m] block -> requested quantity."""
+    m_grid = grid4[3]
     if quantity == "momentum":
-        return grid4[..., :3]
+        return grid4[:3]
     safe = jnp.where(m_grid != 0, m_grid, 1.0)
-    v = jnp.where(m_grid[..., None] != 0, grid4[..., :3] / safe[..., None], 0.0)
+    v = jnp.where(m_grid[None] != 0, grid4[:3] / safe[None], 0.0)
     if quantity == "velocity":
         return v
     if quantity == "energy":
-        return m_grid * jnp.sum(v**2, axis=-1)
+        return m_grid * jnp.sum(v**2, axis=0)
     raise ValueError(f"Unsupported quantity {quantity!r}")
 
 

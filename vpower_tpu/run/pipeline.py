@@ -43,10 +43,10 @@ __all__ = [
 
 
 def _divide_momentum(p_grid: jax.Array, m_grid: jax.Array) -> jax.Array:
-    """v = p / m with an exact zero-mass guard (reference zero-mass
-    handling at ``interp.py:629, 996-1015``)."""
+    """v = p / m (channels-first) with an exact zero-mass guard
+    (reference zero-mass handling at ``interp.py:629, 996-1015``)."""
     safe = jnp.where(m_grid > 0, m_grid, 1.0)
-    return jnp.where(m_grid[..., None] > 0, p_grid / safe[..., None], 0.0)
+    return jnp.where(m_grid[None] > 0, p_grid / safe[None], 0.0)
 
 
 @partial(jax.jit, static_argnames=("n_grid", "method"))
@@ -56,8 +56,8 @@ def _deposit_scatter(particles: Particles, n_grid: int, method: str) -> BoxField
     )
     fn = {"ngp": deposit_ngp, "cic": deposit_cic}[method]
     grid = fn(particles.pos, values, n_grid, particles.box_size)
-    m_grid = grid[..., 3]
-    v_grid = _divide_momentum(grid[..., :3], m_grid)
+    m_grid = grid[3]
+    v_grid = _divide_momentum(grid[:3], m_grid)
     return BoxField(
         velocity=v_grid, mass=m_grid, cell_size=particles.box_size / n_grid
     )
@@ -229,8 +229,8 @@ def power_spectrum(
         d1 = _quantity_grid(f1, quantity)
         d2 = _quantity_grid(f2, quantity)
         if d1.ndim == 3:
-            d1 = d1[..., None]
-            d2 = d2[..., None]
+            d1 = d1[None]
+            d2 = d2[None]
         p_grid = power_mod.interlaced_vector_power(d1, d2, f1.box_size)
         if comp_order > 0:
             p_grid = p_grid * power_mod.window_compensation(
@@ -357,10 +357,10 @@ def _fused_fold_device(
     folded_box = box / m
     grid_re = deposit_ngp(fpos, jnp.real(fvals), n_grid, folded_box)
     grid_im = deposit_ngp(fpos, jnp.imag(fvals), n_grid, folded_box)
-    grid = jax.lax.complex(grid_re, grid_im)
+    grid = jax.lax.complex(grid_re, grid_im)  # channels-first (4, n, n, n)
     # Velocity-weighted variant would divide by folded mass; the momentum
     # field needs no division and stays exactly conservative.
-    p_grid = power_mod.vector_power_from_complex(grid[..., :3], folded_box)
+    p_grid = power_mod.vector_power_from_complex(grid[:3], folded_box)
     kshift = tuple(2.0 * np.pi * b / box for b in beta)
     return power_mod.shell_bin(
         p_grid,

@@ -71,28 +71,28 @@ def get_phase(
 
 
 def apply_phase(f: jax.Array, phase: jax.Array) -> jax.Array:
-    """Multiply a real/complex (N,N,N[,C]) field by an (N,N,N) phase
-    (reference ``_apply_phase``, ``interp.py:1204-1213``)."""
+    """Multiply a real/complex ([C,]N,N,N) CHANNELS-FIRST field by an
+    (N,N,N) phase (reference ``_apply_phase``, ``interp.py:1204-1213``)."""
     if f.ndim == phase.ndim:
         return f * phase
-    return f * phase[..., None]
+    return f * phase[None]
 
 
 def fold_field(f: jax.Array, m: int) -> jax.Array:
-    """Sum the m^3 sub-blocks of an (N,N,N[,C]) field onto an
-    (N/m, N/m, N/m[,C]) field.
+    """Sum the m^3 sub-blocks of a ([C,]N,N,N) CHANNELS-FIRST field onto
+    a ([C,]N/m, N/m, N/m) field.
 
     Reference ``fold_field`` (``interp.py:1227-1252``) re-expressed as a
     reshape + reduction — one fused XLA op instead of an m^3 Python loop.
     """
     if m == 1:
         return f
-    n = f.shape[0]
+    n = f.shape[-1]
     assert n % m == 0, "grid size must be divisible by the fold factor"
     nb = n // m
-    extra = f.shape[3:]
-    g = f.reshape((m, nb, m, nb, m, nb) + extra)
-    return jnp.sum(g, axis=(0, 2, 4))
+    lead = f.shape[:-3]
+    g = f.reshape(lead + (m, nb, m, nb, m, nb))
+    return jnp.sum(g, axis=(-6, -4, -2))
 
 
 def fold_box_field(

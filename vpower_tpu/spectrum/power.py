@@ -47,18 +47,18 @@ def power_norm(box_size: float, n_grid: int) -> float:
 
 
 def vector_power(v: jax.Array, box_size: float) -> jax.Array:
-    """Power grid of a real (N, N, N, 3) vector field.
+    """Power grid of a real CHANNELS-FIRST (3, N, N, N) vector field.
 
     ``P(k) = 0.5 * sum_c |a F[v_c](k)|^2`` — reference ``_vector_power``
     (``interp.py:1372-1387``).  Components are FFT'd sequentially so peak
     memory stays at ~2 complex cubes (reference pattern
     ``parallel_optimized.py:104-118``).
     """
-    n_grid = v.shape[0]
+    n_grid = v.shape[-1]
     a = power_norm(box_size, n_grid)
     acc = None
-    for c in range(v.shape[-1]):
-        fk = jnp.fft.fftn(v[..., c])
+    for c in range(v.shape[0]):
+        fk = jnp.fft.fftn(v[c])
         p = 0.5 * (jnp.real(fk) ** 2 + jnp.imag(fk) ** 2)
         acc = p if acc is None else acc + p
     return acc * (a * a)
@@ -76,15 +76,15 @@ def scalar_power(f: jax.Array, box_size: float) -> jax.Array:
 
 
 def vector_power_from_complex(f: jax.Array, box_size: float) -> jax.Array:
-    """Power grid of a complex (N, N, N, C) field (folded boxes).
-
-    Reference ``_FFTW_vector_power`` (``interp.py:1390-1405``).
+    """Power grid of a complex CHANNELS-FIRST (C, N, N, N) field
+    (folded boxes).  Reference ``_FFTW_vector_power``
+    (``interp.py:1390-1405``).
     """
-    n_grid = f.shape[0]
+    n_grid = f.shape[-1]
     a = power_norm(box_size, n_grid)
     acc = None
-    for c in range(f.shape[-1]):
-        fk = jnp.fft.fftn(f[..., c])
+    for c in range(f.shape[0]):
+        fk = jnp.fft.fftn(f[c])
         p = 0.5 * (jnp.real(fk) ** 2 + jnp.imag(fk) ** 2)
         acc = p if acc is None else acc + p
     return acc * (a * a)
@@ -99,7 +99,7 @@ def scalar_power_from_complex(f: jax.Array, box_size: float) -> jax.Array:
 
 
 def cross_power(a: jax.Array, b: jax.Array, box_size: float) -> jax.Array:
-    """Cross-power grid of two real fields (scalar or channel-last
+    """Cross-power grid of two real fields (scalar or CHANNELS-FIRST
     vector): ``P_ab = 0.5 * sum_c Re(a F[a_c] conj(a F[b_c]))``.
 
     Extends the reference's auto-spectra (it has none of this; SURVEY.md
@@ -108,15 +108,15 @@ def cross_power(a: jax.Array, b: jax.Array, box_size: float) -> jax.Array:
     :func:`scalar_power`.
     """
     assert a.shape == b.shape, "cross_power requires matching shapes"
-    n_grid = a.shape[0]
+    n_grid = a.shape[-1]
     norm = power_norm(box_size, n_grid)
     if a.ndim == 3:
-        a = a[..., None]
-        b = b[..., None]
+        a = a[None]
+        b = b[None]
     acc = None
-    for c in range(a.shape[-1]):
-        fa = jnp.fft.fftn(a[..., c])
-        fb = jnp.fft.fftn(b[..., c])
+    for c in range(a.shape[0]):
+        fa = jnp.fft.fftn(a[c])
+        fb = jnp.fft.fftn(b[c])
         p = 0.5 * (jnp.real(fa) * jnp.real(fb) + jnp.imag(fa) * jnp.imag(fb))
         acc = p if acc is None else acc + p
     return acc * (norm * norm)
@@ -125,13 +125,14 @@ def cross_power(a: jax.Array, b: jax.Array, box_size: float) -> jax.Array:
 def interlaced_vector_power(
     v: jax.Array, v_shifted: jax.Array, box_size: float
 ) -> jax.Array:
-    """Power grid with interlacing: ``v_shifted`` is the same field
-    deposited from positions shifted by half a cell along each axis; the
-    two Fourier transforms are combined with the half-cell phase, which
-    cancels the odd images of the deposition window (Hockney & Eastwood
-    interlacing; the 'interlaced spectra' scale target of BASELINE.md).
+    """Power grid with interlacing of CHANNELS-FIRST (C, N, N, N)
+    fields: ``v_shifted`` is the same field deposited from positions
+    shifted by half a cell along each axis; the two Fourier transforms
+    are combined with the half-cell phase, which cancels the odd images
+    of the deposition window (Hockney & Eastwood interlacing; the
+    'interlaced spectra' scale target of BASELINE.md).
     """
-    n_grid = v.shape[0]
+    n_grid = v.shape[-1]
     a = power_norm(box_size, n_grid)
     idx = jax.lax.iota(jnp.int32, n_grid)
     wrapped = jnp.where(idx < (n_grid + 1) // 2, idx, idx - n_grid)
@@ -145,8 +146,8 @@ def interlaced_vector_power(
     # align with e^{-i theta}, theta = pi (nx+ny+nz) / N
     phase = jax.lax.complex(jnp.cos(theta), -jnp.sin(theta))
     acc = None
-    for c in range(v.shape[-1]):
-        fk = 0.5 * (jnp.fft.fftn(v[..., c]) + phase * jnp.fft.fftn(v_shifted[..., c]))
+    for c in range(v.shape[0]):
+        fk = 0.5 * (jnp.fft.fftn(v[c]) + phase * jnp.fft.fftn(v_shifted[c]))
         p = 0.5 * (jnp.real(fk) ** 2 + jnp.imag(fk) ** 2)
         acc = p if acc is None else acc + p
     return acc * (a * a)

@@ -66,7 +66,7 @@ def plot_velocity_slice(
     n = field.n_grid
     if index is None:
         index = n // 2
-    vel = np.asarray(field.velocity[..., component])
+    vel = np.asarray(field.velocity[component])
     sl = np.take(vel, index, axis=axis)
     if ax is None:
         _, ax = plt.subplots(figsize=(10, 7))

@@ -36,7 +36,12 @@ def sync(x=None) -> None:
         x = jnp.zeros(())
     leaves = [l for l in jax.tree_util.tree_leaves(x) if hasattr(l, "dtype")]
     if leaves:
-        np.asarray(jax.tree_util.tree_leaves(leaves[0])[0].ravel()[:1])
+        import jax.numpy as jnp
+
+        leaf = leaves[0].ravel()[:1]
+        if jnp.iscomplexobj(leaf):
+            leaf = jnp.real(leaf)  # some platforms can't transfer complex
+        np.asarray(leaf)
 
 
 def log(msg: str) -> None:
