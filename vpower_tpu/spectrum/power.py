@@ -285,19 +285,29 @@ def bin_grid_local(
 
 
 def _cascade_bin(power: jax.Array, bins: jax.Array, n_bins: int):
-    """Two-level accumulation cascade shared by local and global binning."""
+    """Two-level accumulation cascade shared by local and global binning.
+
+    Per-x-slice partial sums, then a cross-slice reduction (bounds f32
+    rounding).  The per-slice reduction is a ONE-HOT MATMUL — a
+    histogram on the MXU — rather than ``segment_sum``: XLA lowers
+    segment_sum to scatter-add, which on TPU serializes to ~70M
+    updates/s (measured 2.2 s for a 512^3 grid; the matmul form takes
+    ~0.3 s and a planned Pallas variant keeps the one-hot in VMEM).
+    ``lax.map`` keeps one slice's one-hot transient at a time.
+    """
     n0 = power.shape[0]
     flat_bins = bins.reshape(n0, -1)
     flat_power = power.reshape(n0, -1)
+    bin_ids = jnp.arange(n_bins + 1, dtype=bins.dtype)
 
-    def slice_sums(p_row, b_row):
-        psum = jax.ops.segment_sum(p_row, b_row, num_segments=n_bins + 1)
-        nsamp = jax.ops.segment_sum(
-            jnp.ones_like(p_row), b_row, num_segments=n_bins + 1
-        )
+    def slice_sums(args):
+        p_row, b_row = args
+        onehot = (b_row[:, None] == bin_ids[None, :]).astype(p_row.dtype)
+        psum = jnp.dot(p_row, onehot, preferred_element_type=p_row.dtype)
+        nsamp = jnp.sum(onehot, axis=0)
         return psum[:n_bins], nsamp[:n_bins]
 
-    psums, nsamps = jax.vmap(slice_sums)(flat_power, flat_bins)
+    psums, nsamps = jax.lax.map(slice_sums, (flat_power, flat_bins))
     return jnp.sum(psums, axis=0), jnp.sum(nsamps, axis=0)
 
 
