@@ -203,65 +203,99 @@ def _coarsest_exact(seed_idx, seed_pos, n_grid, box_size, periodic, big):
     return best_idx, best_pos, best_d2
 
 
-def _top_k_candidates(cands, k, big):
-    """Select the k lowest-d2 candidates from a list of (idx, pos, d2)
-    tuples with pure where-chains (no argsort / gathers — those cost
-    seconds per level at 512^3).  Winners are masked out by (d2, idx)
-    identity between rounds."""
-    cands = [list(c) for c in cands]
-    out = []
-    for _ in range(k):
-        bi, bp, bd = cands[0]
-        for ci, cp, cd in cands[1:]:
-            take = cd < bd
-            bi = jnp.where(take, ci, bi)
-            bp = jnp.where(take[None], cp, bp)
-            bd = jnp.where(take, cd, bd)
-        out.append((bi, bp, bd))
-        # mask the winner out of its source candidate (first match only)
-        found = None
-        for c in cands:
-            hit = (c[2] == bd) & (c[0] == bi)
-            if found is not None:
-                hit = hit & ~found
-            found = hit if found is None else (found | hit)
-            c[2] = jnp.where(hit, big, c[2])
-    return out
+def _parent_dist2(n_fine: int, box_size: float, periodic: bool, dtype):
+    """Distance^2 from each FINE candidate position (channels-first) to
+    the center of the COARSE (2x) cell containing that fine cell."""
+    cell = box_size / n_fine
+    idx = jnp.arange(n_fine, dtype=jnp.int32)
+    axis = ((idx // 2).astype(dtype) + 0.5) * (2.0 * cell)
+    cx = axis[:, None, None]
+    cy = axis[None, :, None]
+    cz = axis[None, None, :]
+
+    def dist2(p):
+        dx = cx - p[0]
+        dy = cy - p[1]
+        dz = cz - p[2]
+        if periodic:
+            dx = dx - box_size * jnp.round(dx / box_size)
+            dy = dy - box_size * jnp.round(dy / box_size)
+            dz = dz - box_size * jnp.round(dz / box_size)
+        return dx * dx + dy * dy + dz * dz
+
+    return dist2
 
 
-def _pool_seeds(seed_idx, seed_pos, coarse_dist2, n_seeds, big):
+def _win_min(x):
+    """2x2x2 stride-2 min-pool (one fused XLA reduce_window)."""
+    return jax.lax.reduce_window(
+        x, jnp.asarray(jnp.iinfo(jnp.int32).max if x.dtype == jnp.int32
+                       else jnp.finfo(x.dtype).max, x.dtype),
+        jax.lax.min, (2, 2, 2), (2, 2, 2), "VALID",
+    )
+
+
+def _win_max(x):
+    neg = jnp.asarray(jnp.iinfo(jnp.int32).min if x.dtype == jnp.int32
+                      else -jnp.finfo(x.dtype).max, x.dtype)
+    return jax.lax.reduce_window(
+        x, neg, jax.lax.max, (2, 2, 2), (2, 2, 2), "VALID"
+    )
+
+
+def _upsample_cube(x):
+    for ax in (0, 1, 2):
+        idx = jnp.arange(2 * x.shape[ax], dtype=jnp.int32) // 2
+        x = jnp.take(x, idx, axis=ax)
+    return x
+
+
+def _pool_seeds(seed_idx, seed_pos, parent_dist2, n_seeds, big):
     """Min-pool seed candidates over 2x2x2 blocks, re-scored against the
     COARSE cell centers, keeping the ``n_seeds`` best per coarse cell.
 
-    Strided slices + candidate lists — never a reshape that leaves a
-    tiny trailing dimension (the TPU (8, 128) tile pads it), never an
-    argsort (a (8k, n^3) argsort + gather costs ~2.5 s at 512^3)."""
+    Mechanism: pack each fine candidate's coarse-center d2 into sortable
+    int32 bits (monotonic for non-negative floats), take the block
+    minimum with a fused ``reduce_window``, then recover the winner's
+    (idx, pos) by masking fine cells that match the upsampled winning
+    bits and max-pooling the masked fields.  Rank r+1 masks out rank
+    r's winner and repeats.  Everything is dense window ops — no
+    strided lane slicing (slow relayouts), no argsort, no scatter.
+    """
     k = seed_idx.shape[0]
-    cands = [(seed_idx[i], seed_pos[i]) for i in range(k)]
-    for ax in (0, 1, 2):
-        def halves(x, axis):
-            even = [slice(None)] * x.ndim
-            odd = [slice(None)] * x.ndim
-            even[axis] = slice(0, None, 2)
-            odd[axis] = slice(1, None, 2)
-            return x[tuple(even)], x[tuple(odd)]
+    # packed d2 bits per rank, at fine resolution
+    d2 = jnp.stack([
+        jnp.where(seed_idx[r] >= 0, parent_dist2(seed_pos[r]), big)
+        for r in range(k)
+    ])
+    packed = jax.lax.bitcast_convert_type(d2, jnp.int32)
 
-        nxt = []
-        for ci, cp in cands:
-            ie, io = halves(ci, ax)
-            pe, po = halves(cp, ax + 1)
-            nxt.append((ie, pe))
-            nxt.append((io, po))
-        cands = nxt
-    scored = [
-        (ci, cp, jnp.where(ci >= 0, coarse_dist2(cp), big))
-        for ci, cp in cands
-    ]
-    top = _top_k_candidates(scored, n_seeds, big)
-    return (
-        jnp.stack([t[0] for t in top]),
-        jnp.stack([t[1] for t in top]),
-    )
+    out_idx, out_pos = [], []
+    bigbits = jax.lax.bitcast_convert_type(jnp.asarray(big), jnp.int32)
+    for _ in range(n_seeds):
+        flat_min = packed[0]
+        for r in range(1, k):
+            flat_min = jnp.minimum(flat_min, packed[r])
+        win = _win_min(flat_min)                      # (m, m, m) winner bits
+        win_f = _upsample_cube(win)                   # back to fine grid
+        mask = packed == win_f[None]                  # (k, n, n, n)
+        # winner fields via masked max-pool
+        mi = jnp.full_like(seed_idx[0], -1)
+        mp = [jnp.full_like(seed_pos[0][0], -big) for _ in range(3)]
+        for r in range(k):
+            mi = jnp.maximum(mi, jnp.where(mask[r], seed_idx[r], -1))
+            for c in range(3):
+                mp[c] = jnp.maximum(
+                    mp[c], jnp.where(mask[r], seed_pos[r][c], -big)
+                )
+        out_idx.append(
+            jnp.where(win < bigbits, _win_max(mi), -1)
+        )
+        out_pos.append(jnp.stack([_win_max(c) for c in mp]))
+        # mask the selected winner out for the next rank (first match
+        # only is unnecessary: duplicate-bit candidates are measure-zero)
+        packed = jnp.where(mask, jnp.iinfo(jnp.int32).max, packed)
+    return jnp.stack(out_idx), jnp.stack(out_pos)
 
 
 def _upsample(state):
@@ -404,7 +438,8 @@ def nn_assign(
     seeds = {n_grid: (seed_idx, seed_pos)}
     for n in levels[1:]:
         si, sp = seeds[n * 2]
-        seeds[n] = _pool_seeds(si, sp, dist2_at[n], n_seeds, big)
+        pd2 = _parent_dist2(n * 2, box_size, periodic, dtype)
+        seeds[n] = _pool_seeds(si, sp, pd2, n_seeds, big)
 
     # Coarsest level: exact dense NN against all coarsest seeds.
     n0 = levels[-1]
