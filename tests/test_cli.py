@@ -1,0 +1,65 @@
+"""End-to-end CLI tests on the 8-device CPU mesh: plan -> folded sweep ->
+Pk.txt accumulation -> resume (reference entry-point behavior,
+scripts/parallel_optimized.py)."""
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from vpower_tpu import save_snapshot, synthetic_particles
+from vpower_tpu.run.cli import build_parser, main
+
+
+@pytest.fixture()
+def snapshot(tmp_path):
+    p = synthetic_particles(jax.random.PRNGKey(0), 16, jitter=0.4)
+    path = str(tmp_path / "snap.hdf5")
+    save_snapshot(path, p)
+    return path
+
+
+def test_cli_full_run_and_resume(tmp_path, snapshot):
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    rc = main(["-i", snapshot, "-o", out, "-N", "32", "-M", "16", "-f",
+               "--method", "ngp"])
+    assert rc == 0
+    pk = np.loadtxt(os.path.join(out, "Pk.txt"))
+    assert pk.shape[1] == 4
+    assert pk[:, 3].sum() > 0  # Nsample accumulated over 8 betas
+    # full m^3 sweep covers every mode of the 32^3 lattice inside the
+    # Nyquist sphere (~pi/6 of the cube; corners fall outside the shells)
+    assert 0.4 * 32**3 < pk[:, 3].sum() < 0.6 * 32**3
+
+    # resume: nothing recomputed, Pk.txt unchanged
+    before = pk.copy()
+    rc = main(["-i", snapshot, "-o", out, "-N", "32", "-M", "16", "-f"])
+    assert rc == 0
+    after = np.loadtxt(os.path.join(out, "Pk.txt"))
+    np.testing.assert_array_equal(after, before)
+
+
+def test_cli_single_chip_unfolded(tmp_path, snapshot):
+    out = str(tmp_path / "out1")
+    os.makedirs(out)
+    rc = main(["-i", snapshot, "-o", out, "-N", "16", "-f", "--single-chip",
+               "--method", "cic", "--quantity", "velocity"])
+    assert rc == 0
+    pk = np.loadtxt(os.path.join(out, "Pk.txt"))
+    assert pk[:, 3].sum() > 0
+
+
+def test_cli_beta_subsample(tmp_path, snapshot):
+    out = str(tmp_path / "outs")
+    os.makedirs(out)
+    rc = main(["-i", snapshot, "-o", out, "-N", "32", "-M", "16", "-f",
+               "--betas", "3", "--seed", "7"])
+    assert rc == 0
+    done = open(os.path.join(out, "betas_done.txt")).read().strip().split("\n")
+    assert len(done) == 3
+
+
+def test_parser_defaults():
+    args = build_parser().parse_args(["-i", "a", "-o", "b"])
+    assert args.ntot == 1000 and args.quantity == "momentum"
