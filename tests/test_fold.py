@@ -123,3 +123,23 @@ def test_init_beta_space():
     assert b.shape == (8, 3)
     assert set(map(tuple, b)) == {(i, j, k) for i in range(2)
                                   for j in range(2) for k in range(2)}
+
+
+def test_fused_fold_full_spectrum_matches_sweep_combine():
+    """Hoisted-sort beta-scan == per-beta fused folds combined."""
+    from vpower_tpu import fused_fold_full_spectrum
+    from vpower_tpu.spectrum.spectrum import SpectrumList
+
+    key = jax.random.PRNGKey(5)
+    n_total, m = 16, 2
+    n_grid = n_total // m
+    particles = synthetic_particles(key, n_total, box_size=1.0,
+                                    dtype=jnp.float32)
+    full = fused_fold_full_spectrum(particles, n_grid, m=m)
+    subs = SpectrumList([
+        fused_fold_spectrum(particles, n_grid, m=m, beta=tuple(b))
+        for b in init_beta_space(m)
+    ])
+    combined = subs.combine_all()
+    np.testing.assert_allclose(full.Nsample, combined.Nsample)
+    np.testing.assert_allclose(full.Psum, combined.Psum, rtol=3e-5)

@@ -36,6 +36,8 @@ from .run.pipeline import (
     folded_spectrum,
     folded_spectrum_sweep,
     fused_fold_spectrum,
+    fused_fold_full_spectrum,
+    cross_spectrum,
     spectrum_from_folded,
 )
 from .spectrum.spectrum import (
@@ -67,6 +69,8 @@ __all__ = [
     "folded_spectrum",
     "folded_spectrum_sweep",
     "fused_fold_spectrum",
+    "fused_fold_full_spectrum",
+    "cross_spectrum",
     "spectrum_from_folded",
     "BrickStore",
     "PowerSpectrum",

@@ -6,9 +6,11 @@ from .pipeline import (
     folded_spectrum,
     folded_spectrum_sweep,
     fused_fold_spectrum,
+    fused_fold_full_spectrum,
+    cross_spectrum,
 )
 
 __all__ = [
     "deposit", "power_spectrum", "spectrum_from_field", "spectrum_from_folded",
-    "folded_spectrum", "folded_spectrum_sweep", "fused_fold_spectrum",
+    "folded_spectrum", "folded_spectrum_sweep", "fused_fold_spectrum", "fused_fold_full_spectrum", "cross_spectrum",
 ]
