@@ -63,3 +63,23 @@ def test_cli_beta_subsample(tmp_path, snapshot):
 def test_parser_defaults():
     args = build_parser().parse_args(["-i", "a", "-o", "b"])
     assert args.ntot == 1000 and args.quantity == "momentum"
+
+
+def test_cli_crash_resume_no_double_count(tmp_path, snapshot):
+    """A crash between the sub-spectrum commit and the Pk.txt derivation
+    must not double-count the beta on resume (ADVICE round 1, medium):
+    simulate by deleting the derived files after a partial run."""
+    out = str(tmp_path / "outc")
+    os.makedirs(out)
+    rc = main(["-i", snapshot, "-o", out, "-N", "32", "-M", "16", "-f",
+               "--method", "ngp"])
+    assert rc == 0
+    complete = np.loadtxt(os.path.join(out, "Pk.txt"))
+    # crash simulation: derived files lost/stale, commit points intact
+    os.remove(os.path.join(out, "Pk.txt"))
+    os.remove(os.path.join(out, "betas_done.txt"))
+    rc = main(["-i", snapshot, "-o", out, "-N", "32", "-M", "16", "-f",
+               "--method", "ngp"])
+    assert rc == 0
+    rebuilt = np.loadtxt(os.path.join(out, "Pk.txt"))
+    np.testing.assert_array_equal(rebuilt, complete)

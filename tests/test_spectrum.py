@@ -138,3 +138,31 @@ def test_empty_spectrum_like():
     e = empty_spectrum_like(s, keep_m=True, keep_beta=True)
     assert e.m == 3 and e.beta == (1, 2, 0)
     assert np.all(e.Psum == 0) and np.all(e.P == 0)
+
+
+def test_multidigit_beta_roundtrip(tmp_path):
+    """Fold factors m >= 10 need delimited filenames (the reference's
+    sub_spctrm_b{}{}{} scheme collides, spctrm.py:224-245)."""
+    s = make_spectrum(m=13, beta=(12, 0, 3))
+    path = s.save(str(tmp_path))
+    assert path.endswith("sub_spctrm_b12_0_3.npz")
+    s2 = PowerSpectrum.load(str(tmp_path), beta=(12, 0, 3))
+    assert s2.beta == (12, 0, 3) and s2.m == 13
+    np.testing.assert_array_equal(s2.Psum, s.Psum)
+    # no ambiguity against the single-digit neighbor
+    s3 = make_spectrum(m=13, beta=(1, 2, 0), seed=5)
+    s3.save(str(tmp_path))
+    sl = SpectrumList.load(str(tmp_path))
+    assert len(sl) == 2
+    np.testing.assert_array_equal(sl[(12, 0, 3)].Psum, s.Psum)
+
+
+def test_legacy_beta_filename_shim(tmp_path):
+    """Old runs saved sub_spctrm_b{x}{y}{z}.npz; loaders still read it."""
+    s = make_spectrum(m=2, beta=(1, 0, 1))
+    legacy = tmp_path / "sub_spctrm_b101.npz"
+    np.savez(str(legacy), k=s.k, P=s.P, Psum=s.Psum, Nsample=s.Nsample,
+             m=s.m, beta=np.array(s.beta))
+    s2 = PowerSpectrum.load(str(tmp_path), beta=(1, 0, 1))
+    np.testing.assert_array_equal(s2.Psum, s.Psum)
+    assert len(SpectrumList.load(str(tmp_path))) == 1

@@ -72,7 +72,7 @@ def deposit_ngp(
     sort : pre-sort by cell id so the segment reduction runs on
         contiguous runs — the fast path for large N on TPU.
 
-    Returns (n, n, n) or (n, n, n, C).
+    Returns (n, n, n) or CHANNELS-FIRST (C, n, n, n).
     """
     ids = cell_index(pos, n_grid, box_size)
     if sort:

@@ -41,8 +41,10 @@ def load_field(path: str) -> BoxField:
 
 
 def _folded_path(out_dir: str, beta) -> str:
-    # reference filename scheme: folded_field_b{x}{y}{z}.pkl (interp.py:798)
-    return os.path.join(out_dir, "folded_field_b{}{}{}.npz".format(*beta))
+    # Delimited, multi-digit-safe form of the reference scheme
+    # folded_field_b{x}{y}{z}.pkl (interp.py:798), which collides for
+    # fold factors m >= 10.
+    return os.path.join(out_dir, "folded_field_b{}_{}_{}.npz".format(*beta))
 
 
 def save_folded(out_dir: str, folded: FoldedField) -> str:
@@ -59,7 +61,14 @@ def save_folded(out_dir: str, folded: FoldedField) -> str:
 
 
 def load_folded(out_dir: str, beta) -> FoldedField:
-    with np.load(_folded_path(out_dir, beta)) as z:
+    path = _folded_path(out_dir, beta)
+    if not os.path.isfile(path):  # legacy single-digit scheme
+        legacy = os.path.join(
+            out_dir, "folded_field_b{}{}{}.npz".format(*beta)
+        )
+        if os.path.isfile(legacy):
+            path = legacy
+    with np.load(path) as z:
         return FoldedField(
             field=jnp.asarray(z["field"]),
             fold_factor=int(z["fold_factor"]),

@@ -38,20 +38,33 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libvpower_host.so")
 _lib = None
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than its C++ source — the
+    library is built on demand and never committed (it would be a
+    host-CPU-specific binary blob that silently shadows source edits)."""
+    if not os.path.isfile(_LIB_PATH):
+        return True
+    src = os.path.join(_NATIVE_DIR, "vpower_host.cpp")
+    return os.path.isfile(src) and os.path.getmtime(src) > os.path.getmtime(
+        _LIB_PATH
+    )
+
+
 def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.isfile(_LIB_PATH):
+    if _stale():
         try:
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
+                ["make", "-C", _NATIVE_DIR, "-B"],
                 check=True, capture_output=True, timeout=120,
             )
         except Exception as e:  # no toolchain / build failure
-            raise NativeUnavailable(
-                f"native library missing and build failed: {e}"
-            ) from e
+            if not os.path.isfile(_LIB_PATH):
+                raise NativeUnavailable(
+                    f"native library missing and build failed: {e}"
+                ) from e
     lib = ctypes.CDLL(_LIB_PATH)
 
     c_ll = ctypes.c_longlong

@@ -10,11 +10,13 @@ there is no query loop to buffer.
 Differences by design:
 * the planner output is printed and (without ``-f``) confirmed, exactly
   like the reference (``parallel_optimized.py:238-245``);
-* per-beta sub-spectra are accumulated incrementally into ``Pk.txt``
-  after every beta, so an interrupted run resumes by re-running with
-  the same output directory (the reference's resume mechanism,
-  ``parallel_optimized.py:470-487``), with completed betas recorded in
-  ``betas_done.txt``;
+* per-beta sub-spectra are persisted as atomic ``sub_spctrm_b*.npz``
+  files — the resume commit points — and ``Pk.txt`` /
+  ``betas_done.txt`` are derived from them after every beta (atomic
+  rewrite), so an interrupted run resumes by re-running with the same
+  output directory and a crash can never double-count a beta (the
+  reference's incremental ``Pk.txt`` rewrite,
+  ``parallel_optimized.py:470-487``, was not crash-safe);
 * one process drives all chips — no mpiexec.
 """
 from __future__ import annotations
@@ -69,6 +71,34 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _rebuild_derived(out_dir: str, outputfile: str, done_file: str):
+    """(Re)derive ``Pk.txt`` and ``betas_done.txt`` from the set of
+    complete sub-spectrum files — the pure-function inverse of the
+    commit points, so a crash between writes can never double-count."""
+    from ..spectrum.spectrum import (
+        PowerSpectrum, _atomic_save, scan_sub_spectra,
+    )
+
+    betas = scan_sub_spectra(out_dir)
+    total = None
+    for b in betas:
+        s = PowerSpectrum.load(out_dir, beta=b)
+        if total is None:
+            total = s.copy()
+        else:
+            total.add(s)
+    if total is not None:
+        total.save_txt(outputfile)
+
+    def write_done(tmp):
+        with open(tmp, "w") as fh:
+            for b in betas:
+                fh.write("{} {} {}\n".format(*b))
+
+    _atomic_save(done_file, write_done)
+    return set(betas)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -76,9 +106,7 @@ def main(argv=None) -> int:
 
     from ..io.snapshot import load_snapshot
     from ..parallel import make_mesh, plan_run
-    from ..spectrum.spectrum import (
-        PowerSpectrum, init_beta_space, random_beta_sequence,
-    )
+    from ..spectrum.spectrum import init_beta_space, random_beta_sequence
 
     assert os.path.isdir(args.output), "Output directory does not exist."
     assert os.path.isfile(args.input), "Snapshot file does not exist."
@@ -113,24 +141,36 @@ def main(argv=None) -> int:
     else:
         betas = init_beta_space(plan.fold_m)
 
-    done = set()
-    if os.path.isfile(done_file):
-        with open(done_file) as fh:
-            done = {tuple(map(int, line.split())) for line in fh if line.strip()}
-        _log(f"Resuming: {len(done)} betas already accumulated in {outputfile}")
-
     mesh = None
     if n_devices > 1 and args.method in ("ngp", "cic"):
         mesh = make_mesh(n_devices, shape=plan.mesh_shape)
 
+    if plan.fold_m == 1:
+        # Single unfolded spectrum; full_spctrm.npz is the commit point.
+        full_path = os.path.join(args.output, "full_spctrm.npz")
+        if os.path.isfile(full_path):
+            _log(f"Resuming: {full_path} already complete")
+        else:
+            spectrum = _one_beta(particles, plan, args, mesh, None)
+            spectrum.save(args.output)
+            spectrum.save_txt(outputfile)
+            _log(f"[1/1] spectrum saved -> {outputfile}")
+        _log("Done.")
+        return 0
+
+    # Self-heal Pk.txt/betas_done.txt from complete sub-spectrum files
+    # (a previous run may have crashed between commit and derivation).
+    done = _rebuild_derived(args.output, outputfile, done_file)
+    if done:
+        _log(f"Resuming: {len(done)} betas already accumulated in {outputfile}")
+
     for i, beta in enumerate(betas):
-        beta_t = (0, 0, 0) if beta is None else tuple(int(b) for b in beta)
+        beta_t = tuple(int(b) for b in beta)
         if beta_t in done:
             continue
         spectrum = _one_beta(particles, plan, args, mesh, beta)
-        spectrum.accumulate_txt(outputfile)
-        with open(done_file, "a") as fh:
-            fh.write("{} {} {}\n".format(*beta_t))
+        spectrum.save(args.output)  # atomic commit point
+        done = _rebuild_derived(args.output, outputfile, done_file)
         _log(f"[{i + 1}/{len(betas)}] beta={beta_t} accumulated -> {outputfile}")
 
     _log("Done.")

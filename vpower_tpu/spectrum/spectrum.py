@@ -19,6 +19,8 @@ Persistence uses ``.npz`` plus a reference-compatible 4-column
 from __future__ import annotations
 
 import os
+import re
+import tempfile
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -27,6 +29,7 @@ __all__ = [
     "PowerSpectrum",
     "SpectrumList",
     "relative_diff",
+    "scan_sub_spectra",
     "empty_spectrum_like",
     "init_beta_space",
     "random_beta_sequence",
@@ -53,6 +56,27 @@ def high_pass_filter_2d(field: np.ndarray, box_size: float,
     return field
 
 _NO_BETA = (-1, -1, -1)
+
+# Delimited beta filename scheme (multi-digit safe); the reference's
+# ``sub_spctrm_b{}{}{}'' (``spctrm.py:224-245``) is ambiguous for fold
+# factors m >= 10, so new files use ``b{x}_{y}_{z}`` and loaders accept
+# the legacy single-digit form read-only.
+_BETA_FILE_RE = re.compile(r"^sub_spctrm_b(\d+)_(\d+)_(\d+)\.npz$")
+_BETA_FILE_RE_LEGACY = re.compile(r"^sub_spctrm_b(\d)(\d)(\d)\.npz$")
+
+
+def _atomic_save(path: str, write_fn) -> None:
+    """Write via a same-directory temp file + ``os.replace`` so readers
+    (and crash-resume scans) never observe a partial file."""
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    os.close(fd)
+    try:
+        write_fn(tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def _esd(psum, nsample, k):
@@ -196,16 +220,25 @@ class PowerSpectrum:
     def _filename(self, out_dir: str) -> str:
         if self.beta == _NO_BETA:
             return os.path.join(out_dir, "full_spctrm.npz")
-        return os.path.join(out_dir, "sub_spctrm_b{}{}{}.npz".format(*self.beta))
+        return os.path.join(
+            out_dir, "sub_spctrm_b{}_{}_{}.npz".format(*self.beta)
+        )
 
     def save(self, out_dir: str) -> str:
         """``.npz`` analog of the reference's beta-keyed pickles
-        (``spctrm.py:224-233``)."""
+        (``spctrm.py:224-233``), written atomically (temp + rename) so a
+        sub-spectrum file existing implies it is complete — the resume
+        commit point of the CLI."""
         path = self._filename(out_dir)
-        np.savez(
-            path, k=self.k, P=self.P, Psum=self.Psum, Nsample=self.Nsample,
-            m=self.m, beta=np.array(self.beta),
-        )
+
+        def write(tmp):
+            with open(tmp, "wb") as fh:
+                np.savez(
+                    fh, k=self.k, P=self.P, Psum=self.Psum,
+                    Nsample=self.Nsample, m=self.m, beta=np.array(self.beta),
+                )
+
+        _atomic_save(path, write)
         return path
 
     @staticmethod
@@ -213,7 +246,15 @@ class PowerSpectrum:
         if beta is None:
             path = os.path.join(out_dir, "full_spctrm.npz")
         else:
-            path = os.path.join(out_dir, "sub_spctrm_b{}{}{}.npz".format(*beta))
+            path = os.path.join(
+                out_dir, "sub_spctrm_b{}_{}_{}.npz".format(*beta)
+            )
+            if not os.path.isfile(path):  # legacy single-digit scheme
+                legacy = os.path.join(
+                    out_dir, "sub_spctrm_b{}{}{}.npz".format(*beta)
+                )
+                if os.path.isfile(legacy):
+                    path = legacy
         with np.load(path) as z:
             return PowerSpectrum(
                 z["k"], z["P"], z["Psum"], z["Nsample"],
@@ -222,8 +263,8 @@ class PowerSpectrum:
 
     def save_txt(self, path: str) -> None:
         """Reference-compatible 4-column text file
-        (``parallel_optimized.py:473``)."""
-        np.savetxt(path, self.data())
+        (``parallel_optimized.py:473``), atomically replaced."""
+        _atomic_save(path, lambda tmp: np.savetxt(tmp, self.data()))
 
     @staticmethod
     def load_txt(path: str) -> "PowerSpectrum":
@@ -299,20 +340,32 @@ class SpectrumList:
     @staticmethod
     def load(out_dir: str) -> "SpectrumList":
         """Directory scan of ``sub_spctrm_b*.npz`` (reference
-        ``spctrm.py:302-315``, with the loop-shadowing bug fixed)."""
-        spectra = []
-        for filename in sorted(os.listdir(out_dir)):
-            if filename.startswith("sub_spctrm_b") and filename.endswith(".npz"):
-                beta = tuple(int(x) for x in filename[-7:-4])
-                spectra.append(PowerSpectrum.load(out_dir, beta=beta))
-        if not spectra:
+        ``spctrm.py:302-315``, with the loop-shadowing bug fixed).
+        Accepts both the delimited scheme and legacy single-digit names."""
+        betas = scan_sub_spectra(out_dir)
+        if not betas:
             raise FileNotFoundError(f"No sub_spctrm_b*.npz in {out_dir}")
-        return SpectrumList(spectra)
+        return SpectrumList(
+            [PowerSpectrum.load(out_dir, beta=b) for b in betas]
+        )
 
 
 # ---------------------------------------------------------------------- #
 # utilities                                                              #
 # ---------------------------------------------------------------------- #
+def scan_sub_spectra(out_dir: str) -> List[tuple]:
+    """Sorted beta tuples of every complete sub-spectrum file in a
+    directory (new delimited names plus legacy single-digit ones)."""
+    betas = set()
+    for filename in sorted(os.listdir(out_dir)):
+        mm = _BETA_FILE_RE.match(filename) or _BETA_FILE_RE_LEGACY.match(
+            filename
+        )
+        if mm:
+            betas.add(tuple(int(g) for g in mm.groups()))
+    return sorted(betas)
+
+
 def relative_diff(s1: PowerSpectrum, s2: PowerSpectrum, mode: str = "max") -> float:
     """Relative difference of two spectra (reference ``spctrm.py:321-346``),
     used to validate folded-vs-unfolded overlap agreement."""
