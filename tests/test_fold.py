@@ -143,3 +143,40 @@ def test_fused_fold_full_spectrum_matches_sweep_combine():
     combined = subs.combine_all()
     np.testing.assert_allclose(full.Nsample, combined.Nsample)
     np.testing.assert_allclose(full.Psum, combined.Psum, rtol=3e-5)
+
+
+def test_fused_fold_cic_matches_grid_fold():
+    """Folded CIC: each corner phased by its own full-res cell ==
+    deposit CIC at full res -> phase -> fold (fixes the round-1 silent
+    NGP downgrade of folded CIC runs)."""
+    key = jax.random.PRNGKey(11)
+    n_total, m = 16, 2
+    n_grid = n_total // m
+    particles = synthetic_particles(key, n_total, box_size=1.0,
+                                    dtype=jnp.float64)
+    for beta in [(0, 0, 0), (1, 0, 1), (0, 1, 1)]:
+        field = deposit(particles, n_total, method="cic")
+        sA = folded_spectrum(field, m=m, beta=beta, quantity="momentum")
+        sB = fused_fold_spectrum(particles, n_grid, m=m, beta=beta,
+                                 method="cic")
+        np.testing.assert_allclose(sB.Nsample, sA.Nsample)
+        np.testing.assert_allclose(sB.Psum, sA.Psum, rtol=1e-6)
+
+
+def test_fused_fold_cic_sweep_reconstructs_unfolded():
+    """Full m^3 CIC beta sweep == unfolded CIC momentum spectrum."""
+    from vpower_tpu import fused_fold_full_spectrum, power_spectrum
+    from vpower_tpu.spectrum.spectrum import relative_diff
+
+    key = jax.random.PRNGKey(12)
+    n_total, m = 16, 2
+    particles = synthetic_particles(key, n_total, box_size=1.0,
+                                    dtype=jnp.float32)
+    s_direct = power_spectrum(particles, n_total, method="cic",
+                              quantity="momentum")
+    combined = fused_fold_full_spectrum(particles, n_total // m, m=m,
+                                        method="cic")
+    n = min(len(combined), len(s_direct))
+    np.testing.assert_allclose(combined.Nsample[:n], s_direct.Nsample[:n])
+    np.testing.assert_allclose(combined.Psum[:n], s_direct.Psum[:n],
+                               rtol=2e-4, atol=1e-12)

@@ -196,7 +196,8 @@ def _one_beta(particles, plan, args, mesh, beta):
         )
     if args.method in ("ngp", "cic") and args.quantity == "momentum":
         return fused_fold_spectrum(
-            particles, plan.n_grid, m=plan.fold_m, beta=beta
+            particles, plan.n_grid, m=plan.fold_m, beta=beta,
+            method=args.method,
         )
     # gather-type deposition: fold the gridded field
     field = deposit(particles, plan.n_grid * plan.fold_m, method=args.method)

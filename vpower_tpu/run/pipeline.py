@@ -338,87 +338,46 @@ def folded_spectrum_sweep(
     )
 
 
-@partial(jax.jit, static_argnames=("n_grid", "m", "beta", "kmax_total"))
-def _fused_fold_device(
-    particles: Particles,
-    n_grid: int,
-    m: int,
-    beta: Tuple[int, int, int],
-    kmax_total: float,
-):
-    """Fold + phase fused into NGP deposition of the momentum field:
-    never materializes the full-resolution grid.  This is the TPU answer
-    to the reference's buffered query loop
-    (``parallel_optimized.py:362-398``)."""
-    box = particles.box_size
-    values = jnp.concatenate(
-        [particles.vel * particles.mass[:, None], particles.mass[:, None]], axis=1
-    )
-    fpos, fvals = fold_mod.fold_deposit_weights(
-        particles.pos, values, m, beta, box, n_total=m * n_grid
-    )
-    folded_box = box / m
-    grid_re = deposit_ngp(fpos, jnp.real(fvals), n_grid, folded_box)
-    grid_im = deposit_ngp(fpos, jnp.imag(fvals), n_grid, folded_box)
-    grid = jax.lax.complex(grid_re, grid_im)  # channels-first (4, n, n, n)
-    # Velocity-weighted variant would divide by folded mass; the momentum
-    # field needs no division and stays exactly conservative.
-    p_grid = power_mod.vector_power_from_complex(grid[:3], folded_box)
-    kshift = tuple(2.0 * np.pi * b / box for b in beta)
-    return power_mod.shell_bin(
-        p_grid,
-        folded_box,
-        kmin=2.0 * np.pi / box,
-        kmax=kmax_total,
-        spacing=2.0 * np.pi / box,
-        kshift=kshift,
-    )
-
-
-@partial(jax.jit, static_argnames=("n_grid", "m", "n_bins"))
+@partial(jax.jit, static_argnames=("n_grid", "m", "n_bins", "method"))
 def _fused_fold_sweep_device(
     particles: Particles,
     betas: jax.Array,  # (B, 3) int32
     n_grid: int,
     m: int,
     n_bins: int,
+    method: str = "ngp",
 ):
-    """Full beta sweep with the per-beta-invariant work HOISTED:
+    """Beta sweep of the fused folded momentum spectrum with the
+    per-beta-invariant work HOISTED:
 
-    * particle folding and the cell-id sort happen ONCE (the reference
-      re-queried its NN index for every beta loop,
-      ``parallel_optimized.py:323-356``; even our own per-beta path
-      re-sorted 10M particles per sub-spectrum);
+    * scatter targets (folded cell ids, deposition-weighted values,
+      full-res phase indices — :func:`fold_scatter_targets`) and their
+      cell-id sort happen ONCE (the reference re-queried its NN index
+      for every beta loop, ``parallel_optimized.py:323-356``);
     * the beta loop is a ``lax.scan`` on device: per beta only the
       phase weights, two pre-sorted segment-sums, three FFTs and the
       binning run; Psum/Nsample accumulate on device on the shared
       global lattice (the reference's incremental Pk.txt rewrite,
       ``parallel_optimized.py:470-487``, becomes a scan carry).
 
-    Memory stays O(n_grid^3) for any total dynamic range m * n_grid.
+    ``method`` is ``ngp`` (one target per particle) or ``cic`` (eight
+    per-corner-phased targets per particle — exact parity with
+    deposit-at-full-res -> phase -> fold).  Memory stays O(n_grid^3)
+    for any total dynamic range m * n_grid.
     """
     box = particles.box_size
     folded_box = box / m
     n_total = m * n_grid
-    cell_total = box / n_total
+    n_cells = n_grid**3
 
-    values = jnp.concatenate(
-        [particles.vel * particles.mass[:, None], particles.mass[:, None]],
-        axis=1,
+    values = particles.vel * particles.mass[:, None]
+    ids, vals, idx_full = fold_mod.fold_scatter_targets(
+        particles.pos, values, m, box, n_grid, method=method
     )
-    # fold + sort once
-    fpos = fold_mod.fold_particles(particles.pos, m, box)
-    from ..deposit.scatter import cell_index
-
-    ids = cell_index(fpos, n_grid, folded_box)
     order = jnp.argsort(ids)
     ids_s = ids[order]
-    values_s = values[order] / m**1.5
-    # quantized full-resolution index for the phase (grid-path parity)
-    qidx_s = (
-        jnp.floor(particles.pos[order] / cell_total).astype(jnp.int32)
-        % n_total
-    ).astype(jnp.float32)
+    values_s = vals[order]
+    qidx_s = idx_full[order].astype(jnp.float32)
 
     kmin = 2.0 * jnp.pi / box
 
@@ -428,16 +387,16 @@ def _fused_fold_sweep_device(
         theta = (2.0 * jnp.pi / n_total) * (qidx_s @ beta.astype(jnp.float32))
         cosw = jnp.cos(theta)[:, None] * values_s
         sinw = -jnp.sin(theta)[:, None] * values_s
-        n_cells = n_grid**3
         g_re = jax.ops.segment_sum(cosw, ids_s, num_segments=n_cells,
                                    indices_are_sorted=True)
         g_im = jax.ops.segment_sum(sinw, ids_s, num_segments=n_cells,
                                    indices_are_sorted=True)
+        n_ch = values_s.shape[1]
         grid = jax.lax.complex(
-            g_re.T.reshape((4,) + (n_grid,) * 3),
-            g_im.T.reshape((4,) + (n_grid,) * 3),
+            g_re.T.reshape((n_ch,) + (n_grid,) * 3),
+            g_im.T.reshape((n_ch,) + (n_grid,) * 3),
         )
-        p_grid = power_mod.vector_power_from_complex(grid[:3], folded_box)
+        p_grid = power_mod.vector_power_from_complex(grid, folded_box)
         kshift = 2.0 * jnp.pi * beta.astype(p_grid.dtype) / box
         bins = power_mod.bin_grid_local(
             p_grid.shape, n_grid, folded_box, float(kmin), float(kmin),
@@ -447,11 +406,11 @@ def _fused_fold_sweep_device(
         psum, nsamp = power_mod._cascade_bin(p_grid, bins, n_bins)
         return (psum_acc + psum, nsamp_acc + nsamp), None
 
-    zeros = jnp.zeros((n_bins,), jnp.float32)
+    zeros = jnp.zeros((n_bins,), values_s.dtype)
     (psum, nsamp), _ = jax.lax.scan(
         one_beta, (zeros, zeros), betas
     )
-    k_centers = kmin + kmin * jnp.arange(n_bins, dtype=jnp.float32)
+    k_centers = kmin + kmin * jnp.arange(n_bins, dtype=values_s.dtype)
     return k_centers, psum, nsamp
 
 
@@ -461,6 +420,7 @@ def fused_fold_full_spectrum(
     m: int,
     beta_sequence: Optional[np.ndarray] = None,
     beta_batch: int = 8,
+    method: str = "ngp",
 ) -> PowerSpectrum:
     """The COMBINED momentum spectrum over a beta sweep with fold, sort
     and compile hoisted out of the beta loop — the production path for
@@ -492,7 +452,8 @@ def fused_fold_full_spectrum(
         chunk = betas_np[i:i + beta_batch]
         # keep at most two distinct shapes (full batch + remainder)
         k, psum, nsamp = _fused_fold_sweep_device(
-            particles, jnp.asarray(chunk), int(n_grid), int(m), n_bins
+            particles, jnp.asarray(chunk), int(n_grid), int(m), n_bins,
+            method=method,
         )
         psum_tot += np.asarray(psum, np.float64)
         nsamp_tot += np.asarray(nsamp, np.float64)
@@ -508,8 +469,10 @@ def fused_fold_spectrum(
     n_grid: int,
     m: int,
     beta: Sequence[int],
+    method: str = "ngp",
 ) -> PowerSpectrum:
-    """Momentum sub-spectrum with fold+phase fused into deposition.
+    """Momentum sub-spectrum with fold+phase fused into deposition
+    (``method`` = ``ngp`` | ``cic``).
 
     ``n_grid`` is the size of the FOLDED grid, so memory is
     O((n_grid)^3) regardless of the total dynamic range ``m * n_grid``
@@ -518,9 +481,12 @@ def fused_fold_spectrum(
     """
     beta = tuple(int(b) for b in beta)
     cell = particles.box_size / (m * n_grid)
-    kmax_total = float(np.pi / cell)
-    k, psum, nsample = _fused_fold_device(
-        particles, int(n_grid), int(m), beta, kmax_total
+    kmin = 2.0 * np.pi / particles.box_size
+    kmax = float(np.pi / cell)
+    n_bins = int((kmax - kmin) / kmin) + 1
+    k, psum, nsample = _fused_fold_sweep_device(
+        particles, jnp.asarray([beta], jnp.int32), int(n_grid), int(m),
+        n_bins, method=method,
     )
     return PowerSpectrum.from_binned(
         np.asarray(k), np.asarray(psum), np.asarray(nsample), m=int(m), beta=beta

@@ -40,6 +40,7 @@ __all__ = [
     "fold_particles",
     "fold_phase_at_positions",
     "fold_deposit_weights",
+    "fold_scatter_targets",
 ]
 
 
@@ -162,6 +163,71 @@ def fold_phase_at_positions(
     else:
         theta = (2.0 * jnp.pi / box_size) * (pos.astype(rdtype) @ b)
     return jax.lax.complex(jnp.cos(theta), -jnp.sin(theta)).astype(dtype)
+
+
+def fold_scatter_targets(
+    pos: jax.Array,
+    values: jax.Array,
+    m: int,
+    box_size: float,
+    n_grid: int,
+    method: str = "ngp",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Beta-INDEPENDENT scatter targets for a fold-fused deposition:
+    ``(flat folded cell ids, weighted values, full-res cell indices)``.
+
+    This is the hoisted half of the fused fold: per deposition target
+    (one per particle for NGP, eight phased corners per particle for
+    CIC) it yields the folded-grid cell, the deposition-weighted value,
+    and the FULL-RESOLUTION (n_total = m * n_grid) cell index whose
+    phase ``exp(-i 2 pi beta . idx / n_total)`` must multiply the value
+    for a given beta.  Phasing each CIC corner by its own full-res cell
+    makes the fused path bit-match deposit-at-full-res -> phase -> fold
+    (the grid path, reference ``interp.py:1204-1252``); phasing per
+    particle (as a naive fusion would) does not commute with the CIC
+    spread.  The ``m^-1.5`` fold normalization is folded into the
+    values.
+    """
+    if values.ndim == 1:
+        values = values[:, None]
+    n_total = m * n_grid
+    cell = box_size / n_total
+    norm = 1.0 / float(m) ** 1.5
+
+    if method == "ngp":
+        idx_full = jnp.floor(pos / cell).astype(jnp.int32) % n_total
+        idx_fold = idx_full % n_grid
+        ids = (idx_fold[:, 0] * n_grid + idx_fold[:, 1]) * n_grid + (
+            idx_fold[:, 2]
+        )
+        return ids, values * norm, idx_full
+
+    if method != "cic":
+        raise ValueError(f"Unsupported fused-fold method {method!r}")
+
+    u = pos / cell - 0.5
+    base = jnp.floor(u).astype(jnp.int32)
+    frac = (u - base).astype(values.dtype)
+    ids_all, vals_all, idx_all = [], [], []
+    for dx in (0, 1):
+        wx = (1.0 - frac[:, 0]) if dx == 0 else frac[:, 0]
+        gx = (base[:, 0] + dx) % n_total
+        for dy in (0, 1):
+            wy = (1.0 - frac[:, 1]) if dy == 0 else frac[:, 1]
+            gy = (base[:, 1] + dy) % n_total
+            for dz in (0, 1):
+                wz = (1.0 - frac[:, 2]) if dz == 0 else frac[:, 2]
+                gz = (base[:, 2] + dz) % n_total
+                idx_full = jnp.stack([gx, gy, gz], axis=1)
+                fx, fy, fz = gx % n_grid, gy % n_grid, gz % n_grid
+                ids_all.append((fx * n_grid + fy) * n_grid + fz)
+                vals_all.append(values * ((wx * wy * wz) * norm)[:, None])
+                idx_all.append(idx_full)
+    return (
+        jnp.concatenate(ids_all),
+        jnp.concatenate(vals_all),
+        jnp.concatenate(idx_all),
+    )
 
 
 def fold_deposit_weights(
