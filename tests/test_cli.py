@@ -83,3 +83,51 @@ def test_cli_crash_resume_no_double_count(tmp_path, snapshot):
     assert rc == 0
     rebuilt = np.loadtxt(os.path.join(out, "Pk.txt"))
     np.testing.assert_array_equal(rebuilt, complete)
+
+
+def test_cli_streamed_folded_velocity(tmp_path, snapshot):
+    """Folded VELOCITY via the CLI streams blocks at O(n_grid^3) and
+    matches the unfolded velocity spectrum (full m^3 sweep)."""
+    out = str(tmp_path / "outv")
+    os.makedirs(out)
+    rc = main(["-i", snapshot, "-o", out, "-N", "32", "-M", "16", "-f",
+               "--method", "cic", "--quantity", "velocity",
+               "--beta-batch", "3"])
+    assert rc == 0
+    pk = np.loadtxt(os.path.join(out, "Pk.txt"))
+    out2 = str(tmp_path / "outv_ref")
+    os.makedirs(out2)
+    rc = main(["-i", snapshot, "-o", out2, "-N", "32", "-f", "--single-chip",
+               "--method", "cic", "--quantity", "velocity"])
+    assert rc == 0
+    ref = np.loadtxt(os.path.join(out2, "Pk.txt"))
+    n = min(len(pk), len(ref))
+    np.testing.assert_array_equal(pk[:n, 3], ref[:n, 3])
+    np.testing.assert_allclose(pk[:n, 2], ref[:n, 2], rtol=2e-4)
+    # resume is a no-op
+    before = pk.copy()
+    rc = main(["-i", snapshot, "-o", out, "-N", "32", "-M", "16", "-f",
+               "--method", "cic", "--quantity", "velocity"])
+    assert rc == 0
+    np.testing.assert_array_equal(np.loadtxt(os.path.join(out, "Pk.txt")),
+                                  before)
+
+
+def test_cli_streamed_folded_nn(tmp_path, snapshot):
+    """Folded NN runs route through the streamed pipeline (round 1
+    materialized the full grid)."""
+    out = str(tmp_path / "outn")
+    os.makedirs(out)
+    rc = main(["-i", snapshot, "-o", out, "-N", "32", "-M", "16", "-f",
+               "--method", "nn", "--quantity", "velocity", "--margin", "8"])
+    assert rc == 0
+    pk = np.loadtxt(os.path.join(out, "Pk.txt"))
+    assert pk[:, 3].sum() > 0
+
+
+def test_cli_folded_sph_rejected_before_plan(tmp_path, snapshot):
+    out = str(tmp_path / "outsph")
+    os.makedirs(out)
+    rc = main(["-i", snapshot, "-o", out, "-N", "32", "-M", "16", "-f",
+               "--method", "sph"])
+    assert rc == 1

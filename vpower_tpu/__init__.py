@@ -40,6 +40,7 @@ from .run.pipeline import (
     cross_spectrum,
     spectrum_from_folded,
 )
+from .run.streamed import streamed_folded_spectrum, streamed_folded_sweep
 from .spectrum.spectrum import (
     PowerSpectrum,
     SpectrumList,
@@ -72,6 +73,8 @@ __all__ = [
     "fused_fold_full_spectrum",
     "cross_spectrum",
     "spectrum_from_folded",
+    "streamed_folded_spectrum",
+    "streamed_folded_sweep",
     "BrickStore",
     "PowerSpectrum",
     "SpectrumList",

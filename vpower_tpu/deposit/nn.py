@@ -58,16 +58,21 @@ _COARSEST = 8  # grid size solved by dense all-pairs distance
 # ---------------------------------------------------------------------- #
 # seeds                                                                  #
 # ---------------------------------------------------------------------- #
-def _seed_grids(pos: jax.Array, n_grid: int, box_size: float, n_seeds: int):
+def _seed_grids(pos: jax.Array, n_grid: int, box_size: float, n_seeds: int,
+                valid=None):
     """Rank-k nearest-to-own-cell-center particle per cell, k < n_seeds.
 
     Returns ``(seed_idx (k,n,n,n) i32, seed_pos (k,3,n,n,n))`` with
     ``seed_idx == -1`` marking cells holding fewer than k+1 particles.
+    ``valid`` masks padding rows out of every seed grid (block-streamed
+    callers pad particle sets to a fixed shape).
     """
     n_cells = n_grid**3
     cell = box_size / n_grid
     ijk = jnp.floor(pos / cell).astype(jnp.int32) % n_grid
     ids = (ijk[:, 0] * n_grid + ijk[:, 1]) * n_grid + ijk[:, 2]
+    if valid is not None:
+        ids = jnp.where(valid, ids, n_cells)  # sorts last, scatter-dropped
     centers = (ijk.astype(pos.dtype) + 0.5) * cell
     d2 = jnp.sum((pos - centers) ** 2, axis=1)
 
@@ -323,6 +328,7 @@ def _ring_refine(
     radius: int,
     best_idx: jax.Array,
     best_d2: jax.Array,
+    valid=None,
 ):
     """Exact particle-major correction: every particle scatter-mins its
     distance into all cells within ``radius`` rings of its own cell, then
@@ -358,6 +364,8 @@ def _ring_refine(
             inside = jnp.all((tgt >= 0) & (tgt < n_grid), axis=1)
             flat = (tgt[:, 0] * n_grid + tgt[:, 1]) * n_grid + tgt[:, 2]
             flat = jnp.where(inside, flat, n_cells)  # dropped
+        if valid is not None:
+            flat = jnp.where(valid, flat, n_cells)  # padding rows dropped
         return flat, jnp.sum(delta * delta, axis=1)
 
     def scatter_d2(d2min, off):
@@ -404,6 +412,7 @@ def nn_assign(
     rounds: int = 1,
     refine_radius: int = 0,
     use_pallas: bool = None,
+    valid: jax.Array = None,
 ) -> jax.Array:
     """(N, N, N) int32 grid: index of the particle nearest to each cell
     center — the answer the reference obtained from ``pyann.nn2(k=1)``
@@ -418,6 +427,10 @@ def nn_assign(
     ``refine_radius > 0`` adds the particle-major exact correction —
     exact whenever the true NN lies within that many cells of the
     query, at the cost of XLA scatters.
+
+    ``valid`` (N,) bool excludes padding rows entirely (fixed-shape
+    per-block candidate sets in the streamed folded pipeline); cells
+    with no reachable valid particle return -1.
     """
     dtype = pos.dtype
     pos = pos % box_size
@@ -433,7 +446,8 @@ def nn_assign(
     while levels[-1] > _COARSEST and levels[-1] % 2 == 0:
         levels.append(levels[-1] // 2)
 
-    seed_idx, seed_pos = _seed_grids(pos, n_grid, box_size, n_seeds)
+    seed_idx, seed_pos = _seed_grids(pos, n_grid, box_size, n_seeds,
+                                     valid=valid)
     dist2_at = {n: _make_dist2(n, box_size, periodic, dtype) for n in levels}
     seeds = {n_grid: (seed_idx, seed_pos)}
     for n in levels[1:]:
@@ -480,7 +494,8 @@ def nn_assign(
     best_idx, _, best_d2 = state
     if refine_radius > 0:
         best_idx, best_d2 = _ring_refine(
-            pos, n_grid, box_size, periodic, refine_radius, best_idx, best_d2
+            pos, n_grid, box_size, periodic, refine_radius, best_idx, best_d2,
+            valid=valid,
         )
     return best_idx
 

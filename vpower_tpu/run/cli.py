@@ -59,8 +59,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Deposition method (nn/sph are single-chip).")
     p.add_argument("--quantity", type=str, default="momentum",
                    choices=["velocity", "momentum", "energy"],
-                   help="Field whose spectrum is computed. Folded runs "
-                   "(fold > 1) require momentum.")
+                   help="Field whose spectrum is computed. Folded "
+                   "velocity/energy (and folded NN) runs stream the "
+                   "full-resolution lattice in blocks at O(n_grid^3) "
+                   "memory.")
+    p.add_argument("--beta-batch", type=int, default=4,
+                   help="Betas accumulated per streamed block pass "
+                   "(memory: this many folded cubes live at once).")
+    p.add_argument("--margin", type=int, default=None,
+                   help="NN candidate margin in full-res cells for "
+                   "streamed folded runs (default: n_grid / 4).")
     p.add_argument("--betas", type=int, default=None,
                    help="Compute only this many (random) beta offsets "
                    "instead of the full m^3 sweep.")
@@ -121,7 +129,26 @@ def main(argv=None) -> int:
         max_n_grid=args.maxngrid,
         beta_subsample=args.betas,
     )
+    # Validate the method/quantity/fold combination BEFORE the plan is
+    # confirmed (round-1 failure mode: a folded nn run materialized the
+    # full NTOT^3 grid after the plan advertised O(n_grid^3) memory).
+    streamed = plan.fold_m > 1 and (
+        args.method == "nn" or args.quantity != "momentum"
+    )
+    if plan.fold_m > 1 and args.method == "sph":
+        print(
+            "Folded runs support methods ngp/cic (fused) and nn "
+            "(streamed); sph folding is not implemented. Use -M to fit "
+            "the full grid, or --method nn.",
+            flush=True,
+        )
+        return 1
     _log(plan.describe())
+    if streamed:
+        _log(
+            f"Folded {args.quantity}/{args.method}: block-streamed "
+            f"pipeline, {args.beta_batch} betas per pass."
+        )
     if not args.f:
         print("Accept plan? (y/n)", flush=True)
         if input() != "y":
@@ -163,6 +190,31 @@ def main(argv=None) -> int:
     done = _rebuild_derived(args.output, outputfile, done_file)
     if done:
         _log(f"Resuming: {len(done)} betas already accumulated in {outputfile}")
+    pending = [tuple(int(b) for b in beta) for beta in betas
+               if tuple(int(b) for b in beta) not in done]
+
+    if streamed:
+        from .streamed import streamed_folded_sweep
+
+        n_done = [len(done)]
+
+        def checkpoint(s):
+            s.save(args.output)  # atomic commit point
+            _rebuild_derived(args.output, outputfile, done_file)
+            n_done[0] += 1
+            _log(f"[{n_done[0]}/{len(betas)}] beta={s.beta} "
+                 f"accumulated -> {outputfile}")
+
+        if pending:
+            streamed_folded_sweep(
+                particles, plan.n_grid, plan.fold_m,
+                quantity=args.quantity, method=args.method,
+                beta_sequence=np.asarray(pending, np.int64),
+                beta_batch=args.beta_batch, margin_cells=args.margin,
+                on_spectrum=checkpoint,
+            )
+        _log("Done.")
+        return 0
 
     for i, beta in enumerate(betas):
         beta_t = tuple(int(b) for b in beta)
@@ -179,10 +231,7 @@ def main(argv=None) -> int:
 
 def _one_beta(particles, plan, args, mesh, beta):
     from ..parallel import distributed_spectrum
-    from ..run.pipeline import (
-        deposit, folded_spectrum, fused_fold_spectrum, power_spectrum,
-        spectrum_from_field,
-    )
+    from ..run.pipeline import fused_fold_spectrum, power_spectrum
 
     if mesh is not None:
         fold = None if beta is None else (plan.fold_m, beta)
@@ -194,15 +243,14 @@ def _one_beta(particles, plan, args, mesh, beta):
         return power_spectrum(
             particles, plan.n_grid, method=args.method, quantity=args.quantity
         )
-    if args.method in ("ngp", "cic") and args.quantity == "momentum":
-        return fused_fold_spectrum(
-            particles, plan.n_grid, m=plan.fold_m, beta=beta,
-            method=args.method,
-        )
-    # gather-type deposition: fold the gridded field
-    field = deposit(particles, plan.n_grid * plan.fold_m, method=args.method)
-    return folded_spectrum(field, m=plan.fold_m, beta=beta,
-                           quantity=args.quantity)
+    # folded momentum with a scatter method: fused fold (gather methods
+    # and derived quantities were routed to the streamed pipeline in
+    # main() — nothing here may materialize the n_total^3 grid).
+    assert args.method in ("ngp", "cic") and args.quantity == "momentum"
+    return fused_fold_spectrum(
+        particles, plan.n_grid, m=plan.fold_m, beta=beta,
+        method=args.method,
+    )
 
 
 if __name__ == "__main__":

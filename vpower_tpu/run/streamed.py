@@ -1,0 +1,446 @@
+"""Block-streamed folded spectra of DERIVED fields (velocity / energy)
+at O(n_grid^3) memory — the reference's canonical large-velocity
+workload (``scripts/parallel_optimized.py:337-398``: NN-gather velocity
+per full-resolution point, phase, fold-accumulate), re-designed for TPU.
+
+The full-resolution lattice (n_total = m * n_grid) is processed as the
+m^3 contiguous blocks the fold sums over.  Because a fold maps full-res
+cell ``i = q * n_grid + c`` onto folded cell ``c``, and the fold phase
+splits as::
+
+    exp(-i 2 pi beta . i / n_total)
+      = exp(-i 2 pi beta . c / n_total) * exp(-i 2 pi beta . q / m)
+
+the folded field for ANY beta is ``phase_c (x) sum_q s(q, beta) V_q``
+with a per-(block, beta) COMPLEX SCALAR ``s`` and a beta-independent
+block field ``V_q``.  So one pass over blocks services a whole batch of
+betas: per block, compute the full-res field values once (NN gather or
+scatter+divide), then update B running folded accumulators with B
+scalar multiply-adds.  Memory is B folded cubes + one block working
+set, never the n_total^3 grid (the thing ``run/cli.py`` round 1
+materialized for gather methods — the planner-defeating bug).
+
+Per-block NN is exact-by-construction inside a configurable margin:
+each block's candidate set is every particle within ``margin_cells``
+full-res cells of the block (periodic images included, open-box
+distances — the reference ANN metric), padded to a fixed shape and
+masked via ``nn_assign(valid=...)``.  A cell whose true NN lies beyond
+the margin gets its nearest in-margin particle instead; widen
+``margin_cells`` (or lower m) for emptier boxes.
+
+The reference pays the same query cost per beta loop
+(``parallel_optimized.py:323-356`` re-queries Annoy inside the beta
+loop; gen-2 cached indices on disk, ``parallel_disk.py:305-332``).
+Here the block VALUES are cached host-side after the first pass
+(``cache=True``), so sweeps with more betas than fit in one batch pay
+the NN cost once.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.particles import Particles
+from ..deposit.nn import nn_assign
+from ..spectrum import power as power_mod
+from ..spectrum.fold import get_phase
+from ..spectrum.spectrum import PowerSpectrum, SpectrumList, init_beta_space
+
+__all__ = ["streamed_folded_sweep", "streamed_folded_spectrum"]
+
+
+# ---------------------------------------------------------------------- #
+# host-side per-block candidate runs (NN gather path)                    #
+# ---------------------------------------------------------------------- #
+def _block_candidates(
+    particles: Particles, m: int, n_grid: int, margin_cells: int
+):
+    """Sort particle rows into m^3 per-block candidate runs.
+
+    Returns ``(rows, starts, counts, pad, ext_box, margin_phys)`` where
+    ``rows`` is an (R + pad, 7) float32 host array of
+    ``[x, y, z (block-extended frame), vx, vy, vz, rho]`` with blocks
+    contiguous; block q's run is ``rows[starts[q] : starts[q]+counts[q]]``
+    and every run fits in a fixed ``pad``-row window (device-side
+    ``dynamic_slice``).  Particles within ``margin_cells`` full-res
+    cells of a block are included in its run with periodic images
+    unwrapped into the extended open-box frame.
+    """
+    box = float(particles.box_size)
+    n_total = m * n_grid
+    cell = box / n_total
+    margin_phys = margin_cells * cell
+    block_size = box / m
+    ext_size = block_size + 2.0 * margin_phys
+    if ext_size > box + 1e-9 * box:
+        raise ValueError(
+            f"margin_cells={margin_cells} makes the extended block "
+            f"({ext_size:.3g}) larger than the box ({box:.3g}); at most "
+            f"one periodic image per particle is representable — lower "
+            f"the margin to <= {(box - block_size) / 2 / cell:.0f} cells."
+        )
+
+    pos = np.asarray(particles.pos, np.float32)
+    vel = np.asarray(particles.vel, np.float32)
+    rho = np.asarray(particles.density, np.float32)
+
+    runs: List[np.ndarray] = []
+    counts = np.zeros((m**3,), np.int64)
+    for q in range(m**3):
+        qv = np.array([q // (m * m), (q // m) % m, q % m], np.float64)
+        origin = qv * block_size - margin_phys
+        rel = (pos - origin.astype(np.float32)) % np.float32(box)
+        sel = (rel < ext_size).all(axis=1)
+        rows_q = np.concatenate(
+            [rel[sel], vel[sel], rho[sel, None]], axis=1, dtype=np.float32
+        )
+        counts[q] = rows_q.shape[0]
+        runs.append(rows_q)
+    pad = int(counts.max()) if counts.size else 0
+    pad = max(pad, 1)
+    starts = np.zeros((m**3,), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    rows = np.concatenate(
+        runs + [np.zeros((pad, 7), np.float32)], axis=0
+    )
+    return rows, starts, counts, pad, float(ext_size), margin_phys
+
+
+# ---------------------------------------------------------------------- #
+# per-block full-resolution field values                                 #
+# ---------------------------------------------------------------------- #
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_grid", "n_ext", "margin_cells", "ext_box", "cell", "quantity",
+        "exact",
+    ),
+)
+def _nn_block_values(
+    cand: jax.Array,   # (P, 7) [pos(ext frame), vel, rho]
+    count: jax.Array,  # () int
+    n_grid: int,
+    n_ext: int,
+    margin_cells: int,
+    ext_box: float,
+    cell: float,
+    quantity: str,
+    exact: bool,
+) -> jax.Array:
+    """(C, n_grid^3) full-res field values of one block by exact-NN
+    gather (reference ANN semantics: open-box metric, value of the
+    nearest particle — ``interp.py:246-277, 1018-1049``)."""
+    pos = cand[:, :3]
+    vel = cand[:, 3:6]
+    rho = cand[:, 6]
+    valid = jnp.arange(cand.shape[0], dtype=jnp.int32) < count
+    idx = nn_assign(
+        pos, n_ext, ext_box, periodic=False,
+        n_seeds=3 if exact else 2,
+        refine_radius=2 if exact else 0,
+        valid=valid,
+    )
+    sl = slice(margin_cells, margin_cells + n_grid)
+    idx = idx[sl, sl, sl]
+    ok = idx >= 0
+    idxc = jnp.where(ok, idx, 0)
+
+    def gather(f):
+        return jnp.where(ok, f[idxc], 0.0)
+
+    if quantity == "velocity":
+        return jnp.stack([gather(vel[:, c]) for c in range(3)])
+    mass = rho * cell**3  # reference mass = rho * Lcell^3 (interp.py:273)
+    if quantity == "momentum":
+        return jnp.stack([gather(mass * vel[:, c]) for c in range(3)])
+    if quantity == "energy":
+        return gather(mass * jnp.sum(vel**2, axis=1))[None]
+    raise ValueError(f"Unsupported quantity {quantity!r}")
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_grid", "n_total", "box", "method", "quantity"),
+)
+def _scatter_block_values(
+    pos: jax.Array,
+    vel: jax.Array,
+    mass: jax.Array,
+    block_q: jax.Array,  # (3,) int32 — traced: one compile for all blocks
+    n_grid: int,
+    n_total: int,
+    box: float,
+    method: str,
+    quantity: str,
+) -> jax.Array:
+    """(C, n_grid^3) full-res field values of one block by scatter
+    deposition + division — the NGP/CIC analog of the NN gather (same
+    block semantics; full-res cells partition exactly across blocks)."""
+    cell = box / n_total
+    n_cells = n_grid**3
+    values = jnp.concatenate(
+        [vel * mass[:, None], mass[:, None]], axis=1
+    )
+
+    if method == "ngp":
+        corners = [(jnp.floor(pos / cell).astype(jnp.int32) % n_total, None)]
+    elif method == "cic":
+        u = pos / cell - 0.5
+        base = jnp.floor(u).astype(jnp.int32)
+        frac = u - base
+        corners = []
+        for dx in (0, 1):
+            wx = (1.0 - frac[:, 0]) if dx == 0 else frac[:, 0]
+            for dy in (0, 1):
+                wy = (1.0 - frac[:, 1]) if dy == 0 else frac[:, 1]
+                for dz in (0, 1):
+                    wz = (1.0 - frac[:, 2]) if dz == 0 else frac[:, 2]
+                    idx = jnp.stack(
+                        [(base[:, 0] + dx) % n_total,
+                         (base[:, 1] + dy) % n_total,
+                         (base[:, 2] + dz) % n_total], axis=1
+                    )
+                    corners.append((idx, wx * wy * wz))
+    else:
+        raise ValueError(f"Unsupported scatter method {method!r}")
+
+    ids_all, vals_all = [], []
+    lo = block_q * n_grid
+    for idx, w in corners:
+        loc = idx - lo[None, :]
+        inside = jnp.all((loc >= 0) & (loc < n_grid), axis=1)
+        flat = (loc[:, 0] * n_grid + loc[:, 1]) * n_grid + loc[:, 2]
+        ids_all.append(jnp.where(inside, flat, n_cells))
+        vals_all.append(values if w is None else values * w[:, None])
+    ids = jnp.concatenate(ids_all) if len(ids_all) > 1 else ids_all[0]
+    vals = jnp.concatenate(vals_all) if len(vals_all) > 1 else vals_all[0]
+    grid = jax.ops.segment_sum(vals, ids, num_segments=n_cells + 1)[:n_cells]
+    mv, mg = grid[:, :3], grid[:, 3]
+    if quantity == "momentum":
+        return mv.T
+    safe = jnp.where(mg > 0, mg, 1.0)
+    v = jnp.where(mg[:, None] > 0, mv / safe[:, None], 0.0)
+    if quantity == "velocity":
+        return v.T
+    if quantity == "energy":
+        return (mg * jnp.sum(v**2, axis=1))[None]
+    raise ValueError(f"Unsupported quantity {quantity!r}")
+
+
+# ---------------------------------------------------------------------- #
+# accumulate + finish                                                    #
+# ---------------------------------------------------------------------- #
+@partial(jax.jit, donate_argnames=("acc_re", "acc_im"))
+def _accumulate(
+    acc_re: jax.Array, acc_im: jax.Array,  # (B, C, n^3) float32 each
+    vals: jax.Array,                       # (C, n^3) float32
+    s_re: jax.Array, s_im: jax.Array,      # (B,) float32
+) -> Tuple[jax.Array, jax.Array]:
+    """acc += s (B,) complex * vals, carried as (re, im) REAL pairs:
+    complex64 buffers crossing a jit boundary are unimplemented on the
+    axon TPU platform (complex is fine strictly inside a program)."""
+    return (
+        acc_re + s_re[:, None, None] * vals[None],
+        acc_im + s_im[:, None, None] * vals[None],
+    )
+
+
+@partial(jax.jit, static_argnames=("n_grid", "n_total", "box", "n_bins"))
+def _finish_beta(
+    acc_re: jax.Array,    # (C, n^3) f32 — Re sum_q s(q, beta) V_q
+    acc_im: jax.Array,    # (C, n^3) f32
+    beta: jax.Array,      # (3,) int32
+    n_grid: int,
+    n_total: int,
+    box: float,
+    n_bins: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Apply the per-cell phase, FFT, and bin one folded sub-spectrum on
+    the global k lattice (same lattice/kshift conventions as
+    ``_fused_fold_sweep_device``)."""
+    m = n_total // n_grid
+    folded_box = box / m
+    shape = (acc_re.shape[0],) + (n_grid,) * 3
+    phase = get_phase(beta, total_n=n_total, n_local=n_grid)
+    acc_beta = jax.lax.complex(acc_re, acc_im)  # complex stays inside jit
+    f = acc_beta.reshape(shape) * phase[None]
+    p_grid = power_mod.vector_power_from_complex(f, folded_box)
+    kmin = 2.0 * jnp.pi / box
+    kshift = 2.0 * jnp.pi * beta.astype(p_grid.dtype) / box
+    bins = power_mod.bin_grid_local(
+        p_grid.shape, n_grid, folded_box, float(kmin), float(kmin),
+        n_bins, jnp.zeros((3,), jnp.int32), kshift, dtype=p_grid.dtype,
+    )
+    psum, nsamp = power_mod._cascade_bin(p_grid, bins, n_bins)
+    k_centers = kmin + kmin * jnp.arange(n_bins, dtype=p_grid.dtype)
+    return k_centers, psum, nsamp
+
+
+# ---------------------------------------------------------------------- #
+# driver                                                                 #
+# ---------------------------------------------------------------------- #
+def streamed_folded_sweep(
+    particles: Particles,
+    n_grid: int,
+    m: int,
+    quantity: str = "velocity",
+    method: str = "nn",
+    beta_sequence: Optional[np.ndarray] = None,
+    beta_batch: int = 4,
+    margin_cells: Optional[int] = None,
+    exact: bool = False,
+    cache: bool = True,
+    cache_bytes_limit: float = 32e9,
+    progress=None,
+    on_spectrum=None,
+) -> SpectrumList:
+    """Folded sub-spectra of a DERIVED field (velocity / energy /
+    momentum) for any deposition method, with O(n_grid^3) device memory
+    for a total dynamic range of ``m * n_grid``.
+
+    One pass over the m^3 full-resolution blocks services
+    ``beta_batch`` betas (B folded accumulators live at once); block
+    values are computed by exact-NN gather (``method='nn'``) or
+    scatter+divide (``'ngp'``/``'cic'``) and optionally cached host-side
+    (float32 under ``cache_bytes_limit``, else float16) so later batches
+    skip the deposition entirely.
+
+    Matches the reference's canonical distributed pipeline semantics
+    (``parallel_optimized.py:337-398``) — this is the "folded velocity
+    power spectrum" the project is named for.
+    """
+    if beta_sequence is None:
+        beta_sequence = init_beta_space(m)
+    betas_np = np.asarray(beta_sequence, np.int32).reshape(-1, 3)
+    box = float(particles.box_size)
+    n_total = m * n_grid
+    n_ch = 1 if quantity == "energy" else 3
+
+    kmin = 2.0 * np.pi / box
+    kmax = float(np.pi / (box / n_total))
+    n_bins = int((kmax - kmin) / kmin) + 1
+
+    if method == "nn":
+        if margin_cells is None:
+            margin_cells = max(n_grid // 4, 8)
+        # the multigrid wants an even-split-friendly extended grid and
+        # the Pallas sweep a 128-multiple; round the margin up
+        n_ext = n_grid + 2 * margin_cells
+        rounder = 128 if n_ext >= 256 else 8
+        n_ext = int(np.ceil(n_ext / rounder) * rounder)
+        margin_cells = (n_ext - n_grid) // 2
+        if n_ext - n_grid != 2 * margin_cells:
+            n_ext += rounder
+            margin_cells = (n_ext - n_grid) // 2
+        rows, starts, counts, pad, ext_box, _ = _block_candidates(
+            particles, m, n_grid, margin_cells
+        )
+        rows_d = jnp.asarray(rows)
+        cell_total = box / n_total
+        # the extended frame covers n_ext cells of the SAME cell size
+        ext_box_grid = n_ext * cell_total
+        if ext_box_grid < ext_box - 1e-9:
+            raise AssertionError("extended grid smaller than candidate box")
+
+        def block_values(q: int) -> jax.Array:
+            cand = jax.lax.dynamic_slice(
+                rows_d, (int(starts[q]), 0), (pad, 7)
+            )
+            return _nn_block_values(
+                cand, jnp.int32(counts[q]), n_grid, n_ext, margin_cells,
+                float(ext_box_grid), float(cell_total), quantity, exact,
+            ).reshape(n_ch, n_grid**3)
+
+    elif method in ("ngp", "cic"):
+        pos_d = particles.pos
+        vel_d = particles.vel
+        mass_d = particles.mass
+
+        def block_values(q: int) -> jax.Array:
+            qv = jnp.asarray(
+                [q // (m * m), (q // m) % m, q % m], jnp.int32
+            )
+            return _scatter_block_values(
+                pos_d, vel_d, mass_d, qv, n_grid, n_total, box,
+                method, quantity,
+            ).reshape(n_ch, n_grid**3)
+
+    else:
+        raise ValueError(
+            f"streamed folded spectra support methods nn/ngp/cic, "
+            f"got {method!r}"
+        )
+
+    # host-side block-value cache: f32 if it fits the budget, else f16
+    n_blocks = m**3
+    cache_store: dict = {}
+    cache_dtype = None
+    if cache:
+        total_bytes_f32 = n_blocks * n_ch * n_grid**3 * 4
+        cache_dtype = np.float32 if total_bytes_f32 <= cache_bytes_limit \
+            else np.float16
+
+    def get_block(q: int) -> jax.Array:
+        if cache and q in cache_store:
+            return jnp.asarray(cache_store[q], jnp.float32)
+        vals = block_values(q)
+        if cache:
+            cache_store[q] = np.asarray(vals, cache_dtype)
+        return vals
+
+    spectra: List[PowerSpectrum] = []
+    n_batches = (len(betas_np) + beta_batch - 1) // beta_batch
+    for bi in range(n_batches):
+        batch = betas_np[bi * beta_batch: (bi + 1) * beta_batch]
+        B = len(batch)
+        acc_re = jnp.zeros((B, n_ch, n_grid**3), jnp.float32)
+        acc_im = jnp.zeros((B, n_ch, n_grid**3), jnp.float32)
+        for q in range(n_blocks):
+            qv = np.array([q // (m * m), (q // m) % m, q % m], np.float64)
+            s = np.exp(-2j * np.pi * (batch @ qv) / m) / m**1.5
+            acc_re, acc_im = _accumulate(
+                acc_re, acc_im, get_block(q),
+                jnp.asarray(s.real, jnp.float32),
+                jnp.asarray(s.imag, jnp.float32),
+            )
+            if progress is not None:
+                progress(bi, n_batches, q, n_blocks)
+        for j, beta in enumerate(batch):
+            k, psum, nsamp = _finish_beta(
+                acc_re[j], acc_im[j], jnp.asarray(beta, jnp.int32),
+                n_grid, n_total, box, n_bins,
+            )
+            s = PowerSpectrum.from_binned(
+                np.asarray(k), np.asarray(psum), np.asarray(nsamp),
+                m=m, beta=tuple(int(b) for b in beta),
+            )
+            spectra.append(s)
+            if on_spectrum is not None:
+                on_spectrum(s)  # e.g. the CLI's per-beta checkpoint
+    return SpectrumList(spectra)
+
+
+def streamed_folded_spectrum(
+    particles: Particles,
+    n_grid: int,
+    m: int,
+    quantity: str = "velocity",
+    method: str = "nn",
+    beta_sequence: Optional[np.ndarray] = None,
+    **kwargs,
+) -> PowerSpectrum:
+    """Combined folded spectrum over a beta sequence (full m^3 sweep by
+    default) — :func:`streamed_folded_sweep` + Nsample-weighted combine
+    (reference ``SpectrumList.combine_all``, ``spctrm.py:277-282``)."""
+    sweep = streamed_folded_sweep(
+        particles, n_grid, m, quantity=quantity, method=method,
+        beta_sequence=beta_sequence, **kwargs,
+    )
+    combined = sweep.combine_all()
+    combined.m = m
+    return combined
