@@ -1,20 +1,26 @@
-"""Multi-chip end-to-end pipeline: sharded deposit -> pencil FFT ->
-local shell binning -> psum.
+"""Multi-chip end-to-end pipeline: owner-sharded deposit -> pencil FFT
+-> local shell binning -> psum.
 
 This is the TPU-native equivalent of the reference's canonical MPI
 entry point (``scripts/parallel_optimized.py``, SURVEY.md §3.4), with
 the communication pattern redesigned:
 
-| reference (MPI)                       | here (mesh/ICI)                 |
-|---------------------------------------|---------------------------------|
-| allgather of query buffers (:365-368) | none — owner-scattered deposit  |
-| per-rank folded FFT (:404-411)        | pencil FFT, 2x all_to_all       |
-| Reduce(SUM) of Psum/Nsample (:455)    | psum over the mesh              |
-| rank->(r,s,t) box map (:229-236)      | mesh axis indices               |
+| reference (MPI)                       | here (mesh/ICI)                  |
+|---------------------------------------|----------------------------------|
+| full snapshot loaded per rank (:272)  | particles bucketed to owner chip |
+| allgather of query buffers (:365-368) | one-cell CIC halo ppermute       |
+| per-rank folded FFT (:404-411)        | pencil FFT, 2x all_to_all        |
+| beta loop re-queries + re-plans (:323)| on-device lax.scan over betas    |
+| Reduce(SUM) of Psum/Nsample (:455)    | one psum over the mesh           |
+| rank->(r,s,t) box map (:229-236)      | mesh axis indices                |
 
-Folding composes: pass ``fold=(m, beta)`` and the fold+phase is fused
-into the deposition weights (never materializing the unfolded grid),
-with the beta k-shift applied in binning.
+Deposit work is O(Np / n_devices) per chip (particles pre-bucketed by
+their folded base cell, :func:`..parallel.deposit.shard_particles_host`)
+and the whole beta sweep is ONE compiled program — beta enters as a
+traced scan input, so m^3 sub-spectra cost one compilation and one
+final psum.  Folding fuses into deposition with per-corner phases
+(exact CIC folding, same contract as
+:func:`vpower_tpu.spectrum.fold.fold_scatter_targets`).
 """
 from __future__ import annotations
 
@@ -30,10 +36,16 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.particles import Particles
 from ..fft.distributed import pencil_output_starts, pencil_power_vector, \
     pencil_power_scalar
-from ..spectrum import fold as fold_mod
 from ..spectrum.power import default_k_bins, shell_bin_local
 from ..spectrum.spectrum import PowerSpectrum, SpectrumList, init_beta_space
-from .deposit import deposit_cic_local, deposit_ngp_local
+from .deposit import (
+    deposit_cic_sharded,
+    deposit_ngp_local,
+    fold_local_targets,
+    halo_add,
+    local_block_info,
+    shard_particles_host,
+)
 
 __all__ = ["distributed_spectrum", "distributed_folded_sweep"]
 
@@ -52,6 +64,9 @@ def _local_quantity(grid4, quantity):
     raise ValueError(f"Unsupported quantity {quantity!r}")
 
 
+_RUNNER_CACHE: dict = {}
+
+
 def _build_runner(
     mesh: Mesh,
     n_grid: int,
@@ -59,53 +74,130 @@ def _build_runner(
     method: str,
     quantity: str,
     fold_m: int,
-    beta: Tuple[int, int, int],
     kmin: Optional[float],
     kmax: Optional[float],
     spacing: Optional[float],
 ):
-    """jit(shard_map(...)) closure for one (shape, method, beta) config."""
-    deposit_local = {"ngp": deposit_ngp_local, "cic": deposit_cic_local}[method]
-    total_box = box_size  # box of the UNFOLDED field
-    grid_box = box_size / fold_m  # box covered by the deposited grid
+    """One jit(shard_map(...)) per (mesh, shape-independent config):
+    ``run(pos (px,py,P,3), values (px,py,P,C), betas (B,3)) ->
+    (k, Psum (B, n_bins), Nsample (B, n_bins))``."""
+    key = (id(mesh), n_grid, box_size, method, quantity, fold_m,
+           kmin, kmax, spacing)
+    if key in _RUNNER_CACHE:
+        return _RUNNER_CACHE[key]
+
+    total_box = box_size             # box of the UNFOLDED field
+    grid_box = box_size / fold_m     # box covered by the deposited grid
+    n_total = fold_m * n_grid
     # Global bin lattice (shared across betas / folds).
     kmin_d, kmax_d, spacing_d, _ = default_k_bins(
         total_box, grid_box / n_grid, kmin, kmax, spacing
     )
-    kshift = tuple(2.0 * np.pi * b / total_box for b in beta)
+    norm = 1.0 / float(fold_m) ** 1.5
 
-    def run(pos, values):
-        if fold_m > 1:
-            fpos, fvals = fold_mod.fold_deposit_weights(
-                pos, values, fold_m, beta, total_box, n_total=fold_m * n_grid
-            )
-            grid_re = deposit_local(fpos, jnp.real(fvals), n_grid, grid_box)
-            grid_im = deposit_local(fpos, jnp.imag(fvals), n_grid, grid_box)
-            grid4 = jax.lax.complex(grid_re, grid_im)
-        else:
-            grid4 = deposit_local(pos, values, n_grid, grid_box)
-        data = _local_quantity(grid4, quantity)
-        if data.ndim == 4:
-            p_local = pencil_power_vector(data, grid_box, n_grid)
-        else:
-            p_local = pencil_power_scalar(data, grid_box, n_grid)
+    def run(pos, values, betas):
+        pos = pos.reshape(-1, 3)
+        values = values.reshape(-1, values.shape[-1])
         starts = pencil_output_starts(n_grid)
-        k, psum, nsample = shell_bin_local(
-            p_local, n_grid, grid_box, starts,
-            kmin=kmin_d, kmax=kmax_d, spacing=spacing_d, kshift=kshift,
-        )
-        psum = jax.lax.psum(psum, ("x", "y"))
-        nsample = jax.lax.psum(nsample, ("x", "y"))
-        return k, psum, nsample
 
-    sharded = jax.shard_map(
-        run,
-        mesh=mesh,
-        in_specs=(P(), P()),  # particles replicated (reference loads the
-        # full snapshot on every rank, parallel_optimized.py:272-276)
-        out_specs=(P(), P(), P()),
+        if fold_m == 1:
+            if method == "ngp":
+                grid4 = deposit_ngp_local(pos, values, n_grid, grid_box)
+            else:
+                grid4 = deposit_cic_sharded(pos, values, n_grid, grid_box)
+            data = _local_quantity(grid4, quantity)
+            if data.ndim == 4:
+                p_local = pencil_power_vector(data, grid_box, n_grid)
+            else:
+                p_local = pencil_power_scalar(data, grid_box, n_grid)
+            k, psum, nsample = shell_bin_local(
+                p_local, n_grid, grid_box, starts,
+                kmin=kmin_d, kmax=kmax_d, spacing=spacing_d,
+            )
+            psums, nsamples = psum[None], nsample[None]
+        else:
+            # fused fold: hoist beta-independent targets + local sort
+            ids, w, qidx = fold_local_targets(
+                pos, n_grid, n_total, total_box, method
+            )
+            base_vals = (
+                values if method == "ngp" else jnp.tile(values, (8, 1))
+            ) * (w * norm)[:, None]
+            order = jnp.argsort(ids)
+            ids_s = ids[order]
+            vals_s = base_vals[order]
+            qidx_s = qidx[order].astype(jnp.float32)
+            (nlx, nly, nlz), _ = local_block_info(n_grid)
+            ext_shape = (nlx + 1, nly + 1, nlz) if method == "cic" else \
+                (nlx, nly, nlz)
+            n_ext = ext_shape[0] * ext_shape[1] * nlz
+            n_ch = values.shape[1]
+
+            def one_beta(_, beta):
+                theta = (2.0 * jnp.pi / n_total) * (
+                    qidx_s @ beta.astype(jnp.float32)
+                )
+                g_re = jax.ops.segment_sum(
+                    jnp.cos(theta)[:, None] * vals_s, ids_s,
+                    num_segments=n_ext + 1, indices_are_sorted=True,
+                )[:n_ext].T.reshape((n_ch,) + ext_shape)
+                g_im = jax.ops.segment_sum(
+                    -jnp.sin(theta)[:, None] * vals_s, ids_s,
+                    num_segments=n_ext + 1, indices_are_sorted=True,
+                )[:n_ext].T.reshape((n_ch,) + ext_shape)
+                if method == "cic":
+                    g_re = halo_add(g_re)
+                    g_im = halo_add(g_im)
+                grid = jax.lax.complex(g_re, g_im)
+                p_local = pencil_power_vector(grid, grid_box, n_grid)
+                kshift = 2.0 * jnp.pi * beta.astype(p_local.dtype) / total_box
+                k, psum, nsample = shell_bin_local(
+                    p_local, n_grid, grid_box, starts,
+                    kmin=kmin_d, kmax=kmax_d, spacing=spacing_d,
+                    kshift=kshift,
+                )
+                return None, (k, psum, nsample)
+
+            _, (ks, psums, nsamples) = jax.lax.scan(one_beta, None, betas)
+            k = ks[0]
+
+        psums = jax.lax.psum(psums, ("x", "y"))
+        nsamples = jax.lax.psum(nsamples, ("x", "y"))
+        return k, psums, nsamples
+
+    runner = jax.jit(
+        jax.shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(P("x", "y"), P("x", "y"), P()),
+            out_specs=(P(), P(), P()),
+        )
     )
-    return jax.jit(sharded)
+    _RUNNER_CACHE[key] = runner
+    return runner
+
+
+def _sharded_inputs(particles: Particles, mesh: Mesh, n_grid: int,
+                    fold_m: int, method: str, momentum_only: bool):
+    """Owner-bucketed (px, py, Pmax, .) host arrays for the runner."""
+    if momentum_only:
+        values = np.asarray(particles.vel) * np.asarray(
+            particles.mass
+        )[:, None]
+    else:
+        values = np.concatenate(
+            [
+                np.asarray(particles.vel)
+                * np.asarray(particles.mass)[:, None],
+                np.asarray(particles.mass)[:, None],
+            ],
+            axis=1,
+        )
+    px, py = mesh.devices.shape
+    return shard_particles_host(
+        np.asarray(particles.pos), values, (px, py), n_grid,
+        float(particles.box_size), fold_m=fold_m, method=method,
+    )
 
 
 def distributed_spectrum(
@@ -123,29 +215,30 @@ def distributed_spectrum(
 
     ``n_grid`` is the size of the deposited (possibly folded) grid; with
     ``fold=(m, beta)`` the effective dynamic range is ``m * n_grid``
-    while per-device memory stays O(n_grid^3 / n_devices).
+    while per-device memory stays O(n_grid^3 / n_devices) and deposit
+    work O(Np / n_devices).
     """
     fold_m, beta = (1, (0, 0, 0)) if fold is None else (
         int(fold[0]), tuple(int(b) for b in fold[1])
     )
     if fold is not None and fold_m > 1 and quantity != "momentum":
         raise ValueError(
-            "Fused folded deposition is defined for the momentum field "
-            "(scatter of m*v with phase weights); velocity/energy would "
-            "require dividing phase-mixed complex fields. Fold the "
-            "gridded field instead (vpower_tpu.spectrum.fold) for those."
+            "Fused folded deposition on the mesh is defined for the "
+            "momentum field (scatter of m*v with phase weights); for "
+            "folded velocity/energy use the block-streamed pipeline "
+            "(vpower_tpu.streamed_folded_sweep)."
         )
     runner = _build_runner(
-        mesh, n_grid, particles.box_size, method, quantity,
-        fold_m, beta, kmin, kmax, spacing,
+        mesh, n_grid, float(particles.box_size), method, quantity,
+        fold_m, kmin, kmax, spacing,
     )
-    values = jnp.concatenate(
-        [particles.vel * particles.mass[:, None], particles.mass[:, None]],
-        axis=1,
+    pos_sh, val_sh = _sharded_inputs(
+        particles, mesh, n_grid, fold_m, method, momentum_only=fold_m > 1
     )
-    k, psum, nsample = runner(particles.pos, values)
+    betas = jnp.asarray([beta], jnp.int32)
+    k, psums, nsamples = runner(pos_sh, val_sh, betas)
     return PowerSpectrum.from_binned(
-        np.asarray(k), np.asarray(psum), np.asarray(nsample),
+        np.asarray(k), np.asarray(psums[0]), np.asarray(nsamples[0]),
         m=fold_m if fold else 0,
         beta=beta if fold else (-1, -1, -1),
     )
@@ -159,18 +252,47 @@ def distributed_folded_sweep(
     method: str = "ngp",
     quantity: str = "momentum",
     beta_sequence: Optional[np.ndarray] = None,
+    beta_batch: Optional[int] = None,
 ) -> SpectrumList:
-    """All m^3 folded sub-spectra, sequentially over beta (each beta is a
-    full-mesh computation; the reference's beta loop,
-    ``parallel_optimized.py:323``)."""
+    """All m^3 (or a subset of) folded sub-spectra on the mesh in ONE
+    compiled program: particles are bucketed once, the beta loop is an
+    on-device ``lax.scan`` (the reference re-queried its NN index and
+    re-planned per beta, ``parallel_optimized.py:323``; round 1 here
+    re-compiled per beta).
+
+    ``beta_batch`` optionally splits the scan into host-level chunks to
+    bound single-program wall time (remote-execution watchdogs)."""
+    if m > 1 and quantity != "momentum":
+        raise ValueError(
+            "Fused folded deposition on the mesh is defined for the "
+            "momentum field; for folded velocity/energy use "
+            "vpower_tpu.streamed_folded_sweep."
+        )
     if beta_sequence is None:
         beta_sequence = init_beta_space(m)
-    return SpectrumList(
-        [
-            distributed_spectrum(
-                particles, n_grid, mesh, method=method, quantity=quantity,
-                fold=(m, beta),
-            )
-            for beta in beta_sequence
-        ]
+    betas_np = np.asarray(beta_sequence, np.int32).reshape(-1, 3)
+    runner = _build_runner(
+        mesh, n_grid, float(particles.box_size), method, quantity,
+        int(m), None, None, None,
     )
+    pos_sh, val_sh = _sharded_inputs(
+        particles, mesh, n_grid, int(m), method,
+        momentum_only=quantity == "momentum",
+    )
+    if beta_batch is None:
+        beta_batch = len(betas_np)
+    spectra = []
+    for i in range(0, len(betas_np), beta_batch):
+        chunk = betas_np[i: i + beta_batch]
+        k, psums, nsamples = runner(pos_sh, val_sh, jnp.asarray(chunk))
+        k = np.asarray(k)
+        psums = np.asarray(psums)
+        nsamples = np.asarray(nsamples)
+        for j, beta in enumerate(chunk):
+            spectra.append(
+                PowerSpectrum.from_binned(
+                    k, psums[j], nsamples[j], m=int(m),
+                    beta=tuple(int(b) for b in beta),
+                )
+            )
+    return SpectrumList(spectra)
