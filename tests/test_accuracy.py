@@ -1,0 +1,89 @@
+"""North-star accuracy: the full f32 pipeline (deposit -> FFT power ->
+shell binning) vs an INDEPENDENT float64 numpy mirror written straight
+from the reference's conventions (deposit interp.py:996-1015, power
+normalization interp.py:1377-1387, binning interp.py:1440-1481).
+
+BASELINE.md target: binned P(k) within 1e-6 relative of an FFTW/float64
+reference."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vpower_tpu import power_spectrum, synthetic_particles
+
+
+def _mirror_f64(pos, mass, vel, n_grid, box):
+    """Reference-convention float64 pipeline in plain numpy."""
+    # --- NGP deposit of [m v, m] (interp.py:996-1015) ---
+    idx = (np.floor(pos / (box / n_grid)).astype(np.int64)) % n_grid
+    flat = (idx[:, 0] * n_grid + idx[:, 1]) * n_grid + idx[:, 2]
+    mv = np.zeros((n_grid**3, 3))
+    mg = np.zeros((n_grid**3,))
+    for c in range(3):
+        np.add.at(mv[:, c], flat, mass * vel[:, c])
+    np.add.at(mg, flat, mass)
+    v = np.where(mg[:, None] > 0, mv / np.where(mg[:, None] > 0, mg[:, None], 1.0), 0.0)
+    v = v.reshape(n_grid, n_grid, n_grid, 3)
+
+    # --- vector power (interp.py:1372-1387) ---
+    a = (box / (2 * np.pi)) ** 1.5 / n_grid**3
+    p = np.zeros((n_grid,) * 3)
+    for c in range(3):
+        fk = np.fft.fftn(v[..., c])
+        p += 0.5 * np.abs(a * fk) ** 2
+
+    # --- shell binning (interp.py:1440-1481 with exact-spacing bins) ---
+    ks = 2 * np.pi * np.fft.fftfreq(n_grid, box / n_grid)
+    kk = np.sqrt(
+        ks[:, None, None] ** 2 + ks[None, :, None] ** 2 + ks[None, None, :] ** 2
+    )
+    kmin = 2 * np.pi / box
+    kmax = np.pi / (box / n_grid)
+    n_bins = int((kmax - kmin) / kmin) + 1
+    bin_idx = np.floor((kk - (kmin - kmin / 2)) / kmin).astype(np.int64)
+    sel = (bin_idx >= 0) & (bin_idx < n_bins)
+    psum = np.bincount(bin_idx[sel], weights=p[sel], minlength=n_bins)
+    nsamp = np.bincount(bin_idx[sel], minlength=n_bins)
+    k = kmin + kmin * np.arange(n_bins)
+    P = np.where(nsamp > 0, psum / np.maximum(nsamp, 1), 0.0) * 4 * np.pi * k**2
+    return k, P, psum, nsamp
+
+
+@pytest.mark.parametrize("n_grid", [32, 64])
+def test_end_to_end_f32_vs_f64_mirror(n_grid):
+    particles = synthetic_particles(
+        jax.random.PRNGKey(17), n_grid, box_size=1.0, jitter=0.4
+    )
+    s = power_spectrum(particles, n_grid, method="ngp", quantity="velocity")
+
+    pos = np.asarray(particles.pos, np.float64)
+    mass = np.asarray(particles.mass, np.float64)
+    vel = np.asarray(particles.vel, np.float64)
+    k, P, psum, nsamp = _mirror_f64(pos, mass, vel, n_grid, 1.0)
+
+    np.testing.assert_allclose(s.k, k, rtol=1e-6)
+    np.testing.assert_array_equal(s.Nsample, nsamp)
+    # the north-star bound: binned P(k) within 1e-6 relative
+    sel = nsamp > 0
+    rel = np.abs(s.P[sel] - P[sel]) / np.abs(P[sel])
+    assert rel.max() < 1e-6, f"max rel err {rel.max():.2e}"
+
+
+def test_end_to_end_f32_vs_f64_mirror_dense_shells():
+    """128^3: shells hold up to ~1e5 modes — the f32 rounding regime the
+    cascade binning exists for."""
+    particles = synthetic_particles(
+        jax.random.PRNGKey(23), 96, box_size=1.0, jitter=0.5
+    )
+    n_grid = 128
+    s = power_spectrum(particles, n_grid, method="ngp", quantity="velocity")
+    pos = np.asarray(particles.pos, np.float64)
+    mass = np.asarray(particles.mass, np.float64)
+    vel = np.asarray(particles.vel, np.float64)
+    k, P, psum, nsamp = _mirror_f64(pos, mass, vel, n_grid, 1.0)
+    np.testing.assert_array_equal(s.Nsample, nsamp)
+    sel = nsamp > 0
+    rel = np.abs(s.P[sel] - P[sel]) / np.abs(P[sel])
+    assert rel.max() < 1e-6, f"max rel err {rel.max():.2e}"
