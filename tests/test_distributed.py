@@ -189,3 +189,30 @@ def test_distributed_sweep_beta_batching(mesh):
     for s in full:
         np.testing.assert_allclose(chunked[s.beta].Psum, s.Psum, rtol=1e-6)
         np.testing.assert_allclose(chunked[s.beta].Nsample, s.Nsample)
+
+
+def test_planner_pipeline_aware():
+    """The planner models the pipeline that actually runs: streamed
+    gather plans ignore the mesh divisibility, folded plans carry the
+    complex working set, and the particle budget matters."""
+    from vpower_tpu.parallel.planner import estimate_peak_bytes
+
+    # complex (folded) pipelines cost more than real ones
+    real = estimate_peak_bytes(256, 1, 0, method="ngp", fold_m=1)
+    cplx = estimate_peak_bytes(256, 1, 0, method="ngp", fold_m=4)
+    assert cplx > real
+    # particle count raises the estimate
+    assert estimate_peak_bytes(256, 1, 10_000_000, method="cic") > \
+        estimate_peak_bytes(256, 1, 0, method="cic")
+    # streamed nn plan includes the extended NN block working set
+    s = estimate_peak_bytes(256, 1, 0, method="nn", quantity="velocity",
+                            fold_m=8, beta_batch=8)
+    assert s > estimate_peak_bytes(256, 1, 0, method="ngp", fold_m=8)
+
+    # a 2048 velocity/nn plan on 8 devices picks a streamed-feasible grid
+    plan = plan_run(n_total=2048, n_devices=8, hbm_bytes=16e9,
+                    n_particles=10_000_000, method="nn",
+                    quantity="velocity", beta_batch=8)
+    assert plan.streamed
+    assert plan.bytes_per_device < 0.9 * 16e9
+    assert "block-streamed" in plan.describe()

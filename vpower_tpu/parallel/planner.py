@@ -3,10 +3,12 @@
 TPU analog of the reference's planner
 (``scripts/parallel_optimized.py:70-88``), which factorized
 ``NTOT = threads_per_axis * Nbox * loops_per_axis`` under a memory cap
-``MAXNBOX``.  Here the factorization is
-``NTOT = fold_m * n_grid`` with ``n_grid^3 / n_devices`` blocks bounded
-by per-device HBM, and the "loops" dimension becomes the sequential
-beta schedule (m^3 sub-spectra, optionally subsampled).
+``MAXNBOX``.  Here the factorization is ``NTOT = fold_m * n_grid`` with
+the per-device peak estimated from the ACTUAL pipeline that will run
+(scatter / fused-fold sweep / block-streamed gather), not a single
+magic constant: grid cubes and particle-proportional target buffers are
+modeled separately, and real vs complex (folded) pipelines carry
+different cube counts.
 """
 from __future__ import annotations
 
@@ -17,11 +19,94 @@ import numpy as np
 
 from .mesh import mesh_shape_for
 
-__all__ = ["Plan", "plan_run"]
+__all__ = ["Plan", "plan_run", "estimate_peak_bytes", "device_hbm_bytes"]
 
-# Peak simultaneously-live f32 cubes in the sharded spectrum pipeline
-# (grid4 complex ~ 8 channels + FFT work ~ 4 + binning ~ 2).
-_WORKING_CUBES = 14.0
+# Simultaneously-live n_grid^3 float32 cubes by pipeline (deposited
+# grids + FFT in/out + power + binning transients).  Complex folded
+# grids double the FFT working set.
+_CUBES_REAL = 10.0
+_CUBES_COMPLEX = 16.0
+# Streamed gather path: B folded accumulators as (re, im) f32 pairs per
+# channel + the per-block working set (NN multigrid state + seeds,
+# measured ~52 B/cell round 1) handled separately.
+_NN_BYTES_PER_CELL = 52.0
+
+_DEFAULT_HBM = 16e9
+
+
+def device_hbm_bytes(device=None) -> float:
+    """Per-device HBM budget from ``memory_stats()`` when the platform
+    exposes it (the axon platform returns None), else a 16 GB default."""
+    try:
+        import jax
+
+        if device is None:
+            device = jax.devices()[0]
+        stats = device.memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return float(stats["bytes_limit"])
+    except Exception:
+        pass
+    return _DEFAULT_HBM
+
+
+def measured_peak_bytes(device=None) -> Optional[float]:
+    """``peak_bytes_in_use`` when the platform reports it, else None —
+    callers print predicted-vs-measured after the first beta."""
+    try:
+        import jax
+
+        if device is None:
+            device = jax.devices()[0]
+        stats = device.memory_stats()
+        if stats:
+            return float(stats.get("peak_bytes_in_use", 0.0)) or None
+    except Exception:
+        pass
+    return None
+
+
+def estimate_peak_bytes(
+    n_grid: int,
+    n_devices: int,
+    n_particles: int,
+    method: str = "ngp",
+    quantity: str = "momentum",
+    fold_m: int = 1,
+    beta_batch: int = 1,
+    margin_cells: Optional[int] = None,
+) -> int:
+    """Per-device peak estimate (bytes) of the pipeline the CLI would
+    run for this configuration."""
+    cells = n_grid**3 / max(n_devices, 1)
+    streamed = fold_m > 1 and (method == "nn" or quantity != "momentum")
+
+    # particle-proportional working set
+    targets_per_particle = 8 if method == "cic" else 1
+    n_local = n_particles / max(n_devices, 1) * (
+        1.5 if n_devices > 1 else 1.0  # bucket-padding slack
+    )
+    particle_bytes = n_local * 10 * 4  # pos+vel+mass+density+values
+    if fold_m > 1 and not streamed:
+        # fused sweep: sorted (ids, weighted values, qidx) target rows
+        particle_bytes += n_local * targets_per_particle * (4 + 16 + 12) * 2
+    elif method in ("ngp", "cic"):
+        particle_bytes += n_local * targets_per_particle * (4 + 16) * 2
+
+    if streamed:
+        n_ch = 1 if quantity == "energy" else 3
+        grid_bytes = cells * 4 * (2 * n_ch * beta_batch + 2 * _CUBES_COMPLEX)
+        if method == "nn":
+            mc = margin_cells if margin_cells is not None else max(
+                n_grid // 4, 8
+            )
+            n_ext = n_grid + 2 * mc
+            grid_bytes += n_ext**3 * _NN_BYTES_PER_CELL
+    elif fold_m > 1:
+        grid_bytes = cells * 4 * _CUBES_COMPLEX
+    else:
+        grid_bytes = cells * 4 * _CUBES_REAL
+    return int(particle_bytes + grid_bytes)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,49 +121,76 @@ class Plan:
     mesh_shape: Tuple[int, int]
     n_betas: int            # sub-spectra to compute (m^3 for full sweep)
     bytes_per_device: int   # estimated peak
+    hbm_bytes: int          # budget the plan was made against
     n_particles: int
+    method: str = "ngp"
+    quantity: str = "momentum"
+
+    @property
+    def streamed(self) -> bool:
+        return self.fold_m > 1 and (
+            self.method == "nn" or self.quantity != "momentum"
+        )
 
     def describe(self) -> str:
         px, py = self.mesh_shape
+        pipe = (
+            "block-streamed gather" if self.streamed
+            else ("fused-fold sweep" if self.fold_m > 1 else "scatter")
+        )
         return (
             f"Planner: NTOT={self.n_total} = fold {self.fold_m} x grid "
             f"{self.n_grid}, mesh {px}x{py} ({px * py} chips), "
-            f"{self.n_betas} beta sub-spectra, "
-            f"~{self.bytes_per_device / 2**30:.2f} GiB/chip peak."
+            f"{self.n_betas} beta sub-spectra, {pipe} pipeline, "
+            f"predicted peak ~{self.bytes_per_device / 2**30:.2f} GiB/chip "
+            f"of {self.hbm_bytes / 2**30:.1f} GiB HBM."
         )
 
 
 def plan_run(
     n_total: int,
     n_devices: int,
-    hbm_bytes: float = 16e9,
+    hbm_bytes: Optional[float] = None,
     n_particles: int = 0,
     max_n_grid: Optional[int] = None,
     beta_subsample: Optional[int] = None,
+    method: str = "ngp",
+    quantity: str = "momentum",
+    beta_batch: int = 1,
 ) -> Plan:
     """Choose (n_grid, fold_m, mesh) for a target resolution.
 
     Mirrors the reference's constraints: the grid must divide the
-    resolution evenly (``parallel_optimized.py:76-83``) and fit the
-    memory cap; unlike the reference, chip count need not be a perfect
-    cube — any (px, py) factorization works for pencil decomposition.
+    resolution evenly (``parallel_optimized.py:76-83``) and the
+    estimated peak of the pipeline that will actually run must fit the
+    per-device HBM budget (from ``memory_stats()`` when available).
+    Unlike the reference, chip count need not be a perfect cube — any
+    (px, py) factorization works for pencil decomposition.
     """
+    if hbm_bytes is None:
+        hbm_bytes = device_hbm_bytes()
     mesh_shape = mesh_shape_for(n_devices)
     px, py = mesh_shape
-
-    particle_bytes = n_particles * 4 * 9  # pos+vel+mass+values, replicated
-    budget = 0.9 * hbm_bytes - particle_bytes
-    if budget <= 0:
-        raise ValueError("Particle set alone exceeds the HBM budget.")
+    budget = 0.9 * hbm_bytes
 
     fold_m = 1
     while True:
         if n_total % fold_m == 0:
             n_grid = n_total // fold_m
-            block_cells = n_grid**3 / (px * py)
-            peak = block_cells * 4 * _WORKING_CUBES
+            # streamed single-chip pipelines ignore the mesh (gather
+            # methods / derived folded quantities run on one chip)
+            streamed = fold_m > 1 and (
+                method == "nn" or quantity != "momentum"
+            )
+            n_dev_eff = 1 if streamed else n_devices
+            peak = estimate_peak_bytes(
+                n_grid, n_dev_eff, n_particles, method=method,
+                quantity=quantity, fold_m=fold_m, beta_batch=beta_batch,
+            )
             fits = peak <= budget
-            divisible = (n_grid % px == 0) and (n_grid % py == 0)
+            divisible = streamed or (
+                (n_grid % px == 0) and (n_grid % py == 0)
+            )
             small_enough = max_n_grid is None or n_grid <= max_n_grid
             if fits and divisible and small_enough:
                 break
@@ -90,13 +202,15 @@ def plan_run(
             )
 
     n_betas = beta_subsample if beta_subsample is not None else fold_m**3
-    block_cells = (n_total // fold_m) ** 3 / (px * py)
     return Plan(
         n_total=n_total,
         n_grid=n_total // fold_m,
         fold_m=fold_m,
         mesh_shape=mesh_shape,
         n_betas=int(n_betas),
-        bytes_per_device=int(block_cells * 4 * _WORKING_CUBES + particle_bytes),
+        bytes_per_device=int(peak),
+        hbm_bytes=int(hbm_bytes),
         n_particles=n_particles,
+        method=method,
+        quantity=quantity,
     )

@@ -79,6 +79,22 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _log_peak(plan) -> None:
+    """Measured vs predicted device peak after the first beta (the
+    planner-calibration printout; ``memory_stats`` is unavailable on
+    some platforms, e.g. the axon tunnel)."""
+    from ..parallel.planner import measured_peak_bytes
+
+    peak = measured_peak_bytes()
+    pred = plan.bytes_per_device / 2**30
+    if peak:
+        _log(f"Device peak: measured {peak / 2**30:.2f} GiB "
+             f"vs predicted {pred:.2f} GiB")
+    else:
+        _log(f"Device peak: not reported by this platform "
+             f"(predicted {pred:.2f} GiB)")
+
+
 def _rebuild_derived(out_dir: str, outputfile: str, done_file: str):
     """(Re)derive ``Pk.txt`` and ``betas_done.txt`` from the set of
     complete sub-spectrum files — the pure-function inverse of the
@@ -123,11 +139,22 @@ def main(argv=None) -> int:
 
     devices = jax.devices()
     n_devices = 1 if args.single_chip else len(devices)
+    # Load before planning so the plan knows the particle budget and the
+    # device's real HBM limit (round 1 planned blind on both).
+    particles = load_snapshot(args.input, box_size=args.ltot)
+    _log(f"Loaded snapshot: {len(particles)} particles")
+    from ..parallel.planner import device_hbm_bytes
+
     plan = plan_run(
         n_total=args.ntot,
         n_devices=n_devices,
+        hbm_bytes=device_hbm_bytes(devices[0]),
+        n_particles=len(particles),
         max_n_grid=args.maxngrid,
         beta_subsample=args.betas,
+        method=args.method,
+        quantity=args.quantity,
+        beta_batch=args.beta_batch,
     )
     # Validate the method/quantity/fold combination BEFORE the plan is
     # confirmed (round-1 failure mode: a folded nn run materialized the
@@ -157,9 +184,6 @@ def main(argv=None) -> int:
     _log("Plan confirmed. Starting computation.")
     _log(f"Snapshot: {args.input}")
     _log(f"Output file: {outputfile}")
-
-    particles = load_snapshot(args.input, box_size=args.ltot)
-    _log(f"Loaded snapshot: {len(particles)} particles")
 
     if plan.fold_m == 1:
         betas = [None]
@@ -201,6 +225,8 @@ def main(argv=None) -> int:
         def checkpoint(s):
             s.save(args.output)  # atomic commit point
             _rebuild_derived(args.output, outputfile, done_file)
+            if n_done[0] == len(done):
+                _log_peak(plan)
             n_done[0] += 1
             _log(f"[{n_done[0]}/{len(betas)}] beta={s.beta} "
                  f"accumulated -> {outputfile}")
@@ -216,6 +242,7 @@ def main(argv=None) -> int:
         _log("Done.")
         return 0
 
+    first = True
     for i, beta in enumerate(betas):
         beta_t = tuple(int(b) for b in beta)
         if beta_t in done:
@@ -223,6 +250,9 @@ def main(argv=None) -> int:
         spectrum = _one_beta(particles, plan, args, mesh, beta)
         spectrum.save(args.output)  # atomic commit point
         done = _rebuild_derived(args.output, outputfile, done_file)
+        if first:
+            _log_peak(plan)
+            first = False
         _log(f"[{i + 1}/{len(betas)}] beta={beta_t} accumulated -> {outputfile}")
 
     _log("Done.")
