@@ -302,3 +302,154 @@ int brick_read(const char* path, float* out, long long n_floats) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Exact 1-NN kd-tree (the ANN-parity oracle)
+// ---------------------------------------------------------------------
+// The reference's library path is EXACT nearest-neighbor via the ANN
+// C++ kd-tree (vpower/interp.py:1027-1034, eps=0).  The TPU multigrid
+// assignment is exact except for a measured <=5e-3 buried-seed class on
+// pathologically clustered inputs (deposit/nn.py docstring); this host
+// kd-tree is the genuinely exact path for those regimes and the oracle
+// the test suite validates against.  Median-split tree, iterative
+// stack traversal, optional periodic minimum-image via pruned 27-image
+// queries.
+
+namespace {
+
+struct KdNode {
+  float split;
+  int32_t axis;      // -1 marks a leaf
+  int32_t left, right;   // children, or [leaf_begin, leaf_end) when leaf
+};
+
+struct KdTree {
+  std::vector<KdNode> nodes;
+  std::vector<int64_t> index;   // permutation into the point array
+  const float* pts = nullptr;
+  int64_t n = 0;
+};
+
+constexpr int kLeafSize = 16;
+
+int32_t build_node(KdTree& t, int64_t begin, int64_t end, int depth) {
+  int32_t id = (int32_t)t.nodes.size();
+  t.nodes.push_back({});
+  if (end - begin <= kLeafSize) {
+    t.nodes[id] = {0.0f, -1, (int32_t)begin, (int32_t)end};
+    return id;
+  }
+  // split on the widest axis
+  float lo[3] = {1e30f, 1e30f, 1e30f}, hi[3] = {-1e30f, -1e30f, -1e30f};
+  for (int64_t i = begin; i < end; ++i) {
+    const float* p = t.pts + 3 * t.index[i];
+    for (int a = 0; a < 3; ++a) {
+      lo[a] = std::min(lo[a], p[a]);
+      hi[a] = std::max(hi[a], p[a]);
+    }
+  }
+  int axis = 0;
+  for (int a = 1; a < 3; ++a)
+    if (hi[a] - lo[a] > hi[axis] - lo[axis]) axis = a;
+  int64_t mid = (begin + end) / 2;
+  std::nth_element(
+      t.index.begin() + begin, t.index.begin() + mid, t.index.begin() + end,
+      [&](int64_t a, int64_t b) {
+        return t.pts[3 * a + axis] < t.pts[3 * b + axis];
+      });
+  float split = t.pts[3 * t.index[mid] + axis];
+  int32_t l = build_node(t, begin, mid, depth + 1);
+  int32_t r = build_node(t, mid, end, depth + 1);
+  t.nodes[id] = {split, (int32_t)axis, l, r};
+  return id;
+}
+
+void query_one(const KdTree& t, const float q[3], float& best_d2,
+               int64_t& best_i) {
+  int32_t stack[128];
+  float stack_d2[128];
+  int top = 0;
+  stack[top] = 0;
+  stack_d2[top] = 0.0f;
+  while (top >= 0) {
+    if (stack_d2[top] >= best_d2) { --top; continue; }
+    int32_t id = stack[top--];
+    const KdNode& nd = t.nodes[id];
+    if (nd.axis < 0) {
+      for (int32_t i = nd.left; i < nd.right; ++i) {
+        const float* p = t.pts + 3 * t.index[i];
+        float dx = q[0] - p[0], dy = q[1] - p[1], dz = q[2] - p[2];
+        float d2 = dx * dx + dy * dy + dz * dz;
+        if (d2 < best_d2 ||
+            (d2 == best_d2 && t.index[i] < best_i)) {  // deterministic tie
+          best_d2 = d2;
+          best_i = t.index[i];
+        }
+      }
+      continue;
+    }
+    float delta = q[nd.axis] - nd.split;
+    int32_t near = delta < 0 ? nd.left : nd.right;
+    int32_t far = delta < 0 ? nd.right : nd.left;
+    float far_d2 = delta * delta;
+    if (far_d2 < best_d2 && top + 2 < 128) {
+      stack[++top] = far;
+      stack_d2[top] = far_d2;
+    }
+    stack[++top] = near;
+    stack_d2[top] = 0.0f;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Exact 1-NN of nq query points among n points (both (*,3) float32 in
+// [0, box)).  periodic != 0 uses the minimum-image metric via image
+// queries pruned to those that can beat the in-box answer.  Returns 0.
+int nn_exact(const float* pts, long long n, const float* queries,
+             long long nq, double box, int periodic, int64_t* out_idx) {
+  if (n <= 0 || nq < 0) return -1;
+  KdTree t;
+  t.pts = pts;
+  t.n = n;
+  t.index.resize((size_t)n);
+  for (int64_t i = 0; i < n; ++i) t.index[(size_t)i] = i;
+  t.nodes.reserve((size_t)(2.2 * n / kLeafSize + 64));
+  build_node(t, 0, n, 0);
+  float fbox = (float)box;
+
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic, 1024)
+#endif
+  for (int64_t qi = 0; qi < nq; ++qi) {
+    const float* q0 = queries + 3 * qi;
+    float best_d2 = 1e30f;
+    int64_t best_i = -1;
+    float q[3] = {q0[0], q0[1], q0[2]};
+    query_one(t, q, best_d2, best_i);
+    if (periodic) {
+      float best_d = std::sqrt(best_d2);
+      for (int ix = -1; ix <= 1; ++ix)
+        for (int iy = -1; iy <= 1; ++iy)
+          for (int iz = -1; iz <= 1; ++iz) {
+            if (!ix && !iy && !iz) continue;
+            // image can only win if q is within best_d of that face
+            float qq[3] = {q0[0] + ix * fbox, q0[1] + iy * fbox,
+                           q0[2] + iz * fbox};
+            float gap = 0.0f;
+            for (int a = 0; a < 3; ++a) {
+              float d = std::max({qq[a] - fbox, -qq[a], 0.0f});
+              gap += d * d;
+            }
+            if (gap < best_d2) query_one(t, qq, best_d2, best_i);
+            (void)best_d;
+          }
+    }
+    out_idx[qi] = best_i;
+  }
+  return 0;
+}
+
+}  // extern "C"

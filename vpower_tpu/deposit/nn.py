@@ -29,13 +29,20 @@ Positions are carried CHANNELS-FIRST ((3, N, N, N), and (k, 3, N, N, N)
 for seeds): a trailing length-3 axis forced into materialized layouts
 costs up to 40x its logical HBM size under the TPU (8, 128) tile.
 
-Accuracy: fast mode measures ~0-1e-3 cell misassignments (each bounded
-by ~a cell diagonal); exact mode measures 0-to-1e-5 against brute force
-across sparse-to-dense configurations.  The reference's production path
-(Annoy with a single tree, ``parallel_optimized.py:310``) is far more
-approximate than even fast mode; its library path is exact ANN (eps=0,
-``interp.py:1027-1034``) — matched by exact mode (SURVEY.md "hard
-parts": exact 1-NN).
+Accuracy (measured against brute force, ``tests/test_nn.py``): fast
+mode ~0-1e-2 cell misassignments, each bounded by ~a cell diagonal;
+exact mode is ZERO-error on uniform occupancies up to 20k
+particles/16^3.  On adversarially CLUSTERED configurations (thousands
+of particles per cell) a distant void query's true NN can be buried
+below every seed rank of its crowded cell — unrecoverable by any
+sweep — and the rank-0 seed of the right cell wins instead, so exact
+mode's residual error is <= one cell diagonal at a measured <= 5e-3
+rate (64^3 stress test).  The reference's production path (Annoy with
+a single tree, ``parallel_optimized.py:310``) is far more approximate
+than even fast mode; its library path is exact ANN (eps=0,
+``interp.py:1027-1034``) — for bit-exact parity in the pathological
+clustered regime use the native host kd-tree
+(:func:`vpower_tpu.io.native.nn_exact_host`).
 """
 from __future__ import annotations
 
@@ -462,6 +469,7 @@ def nn_assign(
 
     # Descend: upsample, merge level seeds, repair sweeps.
     for n in reversed(levels[:-1]):
+        level_rounds = rounds
         bi, bp = _upsample(state)
         si, sp = seeds.pop(n)
         # the kernel's z axis must fill whole 128-lane tiles
@@ -474,7 +482,7 @@ def nn_assign(
             # the kernel compares candidates in parallel (no in-pass
             # chaining like the scan sweep), so give it one extra pass —
             # each pass is a single cheap HBM sweep
-            for _ in range(rounds + 1):
+            for _ in range(level_rounds + 1):
                 bi, bp, _ = sweep_tiles(
                     bi, bp, ki_p, kp_p, float(box_size), periodic=periodic,
                     seeds_prepadded=True,
@@ -488,7 +496,7 @@ def nn_assign(
                 sd_k = jnp.where(si[k] >= 0, dist2_at[n](sp[k]), big)
                 state = _merge(state, si[k], sp[k], sd_k)
             state = _sweep(
-                state, dist2_at[n], big, _level_shifts(rounds), (si, sp)
+                state, dist2_at[n], big, _level_shifts(level_rounds), (si, sp)
             )
 
     best_idx, _, best_d2 = state
@@ -542,6 +550,7 @@ def nn_interp_to_field(
         particles.pos, n_grid, particles.box_size,
         periodic=periodic,
         n_seeds=3 if exact else 2,
+        rounds=2 if exact else 1,
         refine_radius=2 if exact else 0,
     )
     vec = particles.density_velocity_vector()

@@ -20,6 +20,8 @@ __all__ = [
     "load_gadget_binary",
     "morton_argsort",
     "morton_sort_particles",
+    "nn_exact_query",
+    "nn_exact_host",
     "BrickPrefetcher",
     "brick_write_raw",
     "brick_read_raw",
@@ -91,6 +93,10 @@ def _load() -> ctypes.CDLL:
     lib.brick_write.argtypes = [ctypes.c_char_p, f32p, c_ll]
     lib.brick_read.restype = ctypes.c_int
     lib.brick_read.argtypes = [ctypes.c_char_p, f32p, c_ll]
+    lib.nn_exact.restype = ctypes.c_int
+    lib.nn_exact.argtypes = [
+        f32p, c_ll, f32p, c_ll, ctypes.c_double, ctypes.c_int, i64p,
+    ]
     _lib = lib
     return lib
 
@@ -182,6 +188,43 @@ def morton_sort_particles(particles):
 # ---------------------------------------------------------------------- #
 # raw brick I/O with background prefetch                                 #
 # ---------------------------------------------------------------------- #
+def nn_exact_query(
+    pts: np.ndarray, queries: np.ndarray, box_size: float,
+    periodic: bool = True,
+) -> np.ndarray:
+    """Exact nearest-neighbor indices of ``queries`` among ``pts`` via
+    the native kd-tree — the genuinely exact path for pathologically
+    clustered inputs where the device multigrid's residual is bounded
+    by a cell diagonal (``deposit/nn.py`` docstring).  Reference
+    parity: exact ANN with eps=0 (``interp.py:1027-1034``)."""
+    lib = _load()
+    pts = np.ascontiguousarray(pts, np.float32)
+    queries = np.ascontiguousarray(queries, np.float32)
+    out = np.empty((queries.shape[0],), np.int64)
+    rc = lib.nn_exact(
+        pts, pts.shape[0], queries, queries.shape[0],
+        float(box_size), int(bool(periodic)), out,
+    )
+    if rc != 0:
+        raise RuntimeError("nn_exact failed")
+    return out
+
+
+def nn_exact_host(
+    pos, n_grid: int, box_size: float, periodic: bool = True
+) -> np.ndarray:
+    """(N, N, N) int64 exact NN assignment of the cell-center lattice —
+    the host oracle with the same contract as
+    :func:`vpower_tpu.deposit.nn.nn_assign`."""
+    axis = (np.arange(n_grid, dtype=np.float32) + 0.5) * (
+        np.float32(box_size) / n_grid
+    )
+    cx, cy, cz = np.meshgrid(axis, axis, axis, indexing="ij")
+    queries = np.stack([cx.ravel(), cy.ravel(), cz.ravel()], axis=1)
+    idx = nn_exact_query(np.asarray(pos), queries, box_size, periodic)
+    return idx.reshape((n_grid,) * 3)
+
+
 class BrickPrefetcher:
     """Double-buffered raw-brick reader: while the device folds brick i,
     a worker thread reads brick i+1 from disk — overlapping the
