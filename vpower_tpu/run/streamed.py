@@ -85,29 +85,61 @@ def _block_candidates(
             f"the margin to <= {(box - block_size) / 2 / cell:.0f} cells."
         )
 
-    pos = np.asarray(particles.pos, np.float32)
+    pos = np.asarray(particles.pos, np.float64) % box
     vel = np.asarray(particles.vel, np.float32)
     rho = np.asarray(particles.density, np.float32)
 
-    runs: List[np.ndarray] = []
-    counts = np.zeros((m**3,), np.int64)
-    for q in range(m**3):
-        qv = np.array([q // (m * m), (q // m) % m, q % m], np.float64)
-        origin = qv * block_size - margin_phys
-        rel = (pos - origin.astype(np.float32)) % np.float32(box)
-        sel = (rel < ext_size).all(axis=1)
-        rows_q = np.concatenate(
-            [rel[sel], vel[sel], rho[sel, None]], axis=1, dtype=np.float32
-        )
-        counts[q] = rows_q.shape[0]
-        runs.append(rows_q)
-    pad = int(counts.max()) if counts.size else 0
-    pad = max(pad, 1)
+    # Vectorized membership: particle x belongs to block q along an axis
+    # iff (x + margin - q * bs) mod L < ext.  The multiples of bs inside
+    # a window of length ext number at most J = floor(ext / bs) + 1, so
+    # enumerating j in [0, J) with q_j = floor((x + margin) / bs) - j
+    # covers every (block, image) pair — O(N * J^3) instead of the m^3
+    # full passes that dominated the first 2048-range run (~10 minutes
+    # of host time at m = 8).
+    J = min(int(ext_size // block_size) + 1, m)  # cap: ext <= L
+    y = pos + margin_phys
+    q_hi = np.floor(y / block_size).astype(np.int64)  # (N, 3)
+    q_ax = np.stack([(q_hi - j) % m for j in range(J)], axis=1)  # (N,J,3)
+    rel_ax = np.stack(
+        [(y - (q_hi - j) * block_size) % box for j in range(J)], axis=1
+    )  # (N, J, 3) position in the candidate block's extended frame
+    ok_ax = rel_ax < ext_size
+
+    bid_parts, pidx_parts, rel_parts = [], [], []
+    for jx in range(J):
+        okx = ok_ax[:, jx, 0]
+        for jy in range(J):
+            okxy = okx & ok_ax[:, jy, 1]
+            for jz in range(J):
+                sel = np.flatnonzero(okxy & ok_ax[:, jz, 2])
+                if sel.size == 0:
+                    continue
+                bid = (
+                    q_ax[sel, jx, 0] * m + q_ax[sel, jy, 1]
+                ) * m + q_ax[sel, jz, 2]
+                bid_parts.append(bid)
+                pidx_parts.append(sel)
+                rel_parts.append(
+                    np.stack(
+                        [rel_ax[sel, jx, 0], rel_ax[sel, jy, 1],
+                         rel_ax[sel, jz, 2]], axis=1
+                    ).astype(np.float32)
+                )
+    bids = np.concatenate(bid_parts)
+    pidx = np.concatenate(pidx_parts)
+    rel = np.concatenate(rel_parts)
+    order = np.argsort(bids, kind="stable")
+    bids = bids[order]
+    counts = np.bincount(bids, minlength=m**3).astype(np.int64)
+    pad = max(int(counts.max()), 1)
     starts = np.zeros((m**3,), np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    rows = np.concatenate(
-        runs + [np.zeros((pad, 7), np.float32)], axis=0
-    )
+    sel = pidx[order]
+    rows = np.empty((len(bids) + pad, 7), np.float32)
+    rows[: len(bids), :3] = rel[order]
+    rows[: len(bids), 3:6] = vel[sel]
+    rows[: len(bids), 6] = rho[sel]
+    rows[len(bids):] = 0.0
     return rows, starts, counts, pad, float(ext_size), margin_phys
 
 
