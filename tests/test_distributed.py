@@ -216,3 +216,18 @@ def test_planner_pipeline_aware():
     assert plan.streamed
     assert plan.bytes_per_device < 0.9 * 16e9
     assert "block-streamed" in plan.describe()
+
+
+def test_multihost_single_process_noop_and_mesh(mesh):
+    """Single-process initialize is a no-op; global_mesh lays the inner
+    axis within the local device set (ICI-first layout)."""
+    from vpower_tpu.parallel import multihost
+
+    multihost.initialize()  # no coordinator: must not raise
+    assert not multihost.is_multiprocess()
+    gm = multihost.global_mesh(inner=2)
+    assert gm.devices.shape == (4, 2)
+    particles = synthetic_particles(jax.random.PRNGKey(8), 8, jitter=0.3)
+    s = distributed_spectrum(particles, 8, gm, method="ngp",
+                             quantity="momentum")
+    assert np.isfinite(s.Psum).all() and s.Nsample.sum() > 0

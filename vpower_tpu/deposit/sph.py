@@ -39,7 +39,12 @@ import jax.numpy as jnp
 from ..core.field import BoxField
 from ..core.particles import Particles
 
-__all__ = ["sph_deposit", "sph_interp_to_field", "kernel_weight"]
+__all__ = [
+    "sph_deposit",
+    "sph_deposit_multires",
+    "sph_interp_to_field",
+    "kernel_weight",
+]
 
 
 def kernel_weight(q: jax.Array, kind: str) -> jax.Array:
@@ -146,6 +151,67 @@ def sph_deposit(
     return grid.T.reshape((values.shape[1],) + (n_grid,) * 3)
 
 
+def _upsample_add(fine: jax.Array, coarse: jax.Array, factor: int) -> jax.Array:
+    """Add a (C, n/f, n/f, n/f) coarse block grid into the fine grid,
+    spreading each coarse cell's content equally over its f^3 children
+    (mass-conservative piecewise-constant refinement)."""
+    c = coarse / float(factor**3)
+    for ax in (1, 2, 3):
+        idx = jnp.arange(c.shape[ax] * factor, dtype=jnp.int32) // factor
+        c = jnp.take(c, idx, axis=ax)
+    return fine + c
+
+
+def sph_deposit_multires(
+    pos: jax.Array,
+    values: jax.Array,
+    h: jax.Array,
+    n_grid: int,
+    box_size: float,
+    s_max: int = 2,
+    kernel: str = "cubic_spline",
+    periodic: bool = True,
+    levels: int = 1,
+) -> jax.Array:
+    """Adaptive-support SPH scatter WITHOUT clamping large kernels.
+
+    Level k deposits the particles whose support needs up to
+    ``s_max * 2^k`` fine cells onto a 2^k-times coarser grid (where
+    their kernel fits the static footprint), then refines the coarse
+    grid conservatively.  This removes :func:`sph_deposit`'s h clamp —
+    the property the reference preserved with padded exact sphere-cell
+    overlap (``interp.py:216-243``) — at a kernel-shape resolution of
+    ``support / s_max`` cells (relative error <= 1/s_max), while total
+    mass/momentum stay exactly conserved per particle.
+    """
+    if levels <= 1:
+        return sph_deposit(pos, values, h, n_grid, box_size, s_max=s_max,
+                           kernel=kernel, periodic=periodic)
+    assert n_grid % (2 ** (levels - 1)) == 0, (
+        "n_grid must divide by 2^(levels-1)"
+    )
+    cell = box_size / n_grid
+    support = h / cell  # kernel radius in fine cells
+    # class k: support in (s_max * 2^(k-1), s_max * 2^k]
+    klass = jnp.ceil(
+        jnp.log2(jnp.maximum(support / s_max, 1e-9))
+    ).astype(jnp.int32)
+    klass = jnp.clip(klass, 0, levels - 1)
+    grid = None
+    for k in range(levels):
+        mask = (klass == k).astype(values.dtype)
+        vals_k = values * mask[:, None]
+        gk = sph_deposit(
+            pos, vals_k, h, n_grid >> k, box_size,
+            s_max=s_max, kernel=kernel, periodic=periodic,
+        )
+        if k == 0:
+            grid = gk
+        else:
+            grid = _upsample_add(grid, gk, 1 << k)
+    return grid
+
+
 def sph_interp_to_field(
     particles: Particles,
     n_grid: int,
@@ -153,6 +219,8 @@ def sph_interp_to_field(
     s_max: int = 2,
     kernel: str = "cubic_spline",
     periodic: bool = True,
+    clamp_support: bool = True,
+    edge_removal: float = 0.0,
 ) -> BoxField:
     """SPH-deposit ``[m*v, m]`` and form a BoxField.
 
@@ -162,17 +230,44 @@ def sph_interp_to_field(
     conservative spreading, then ``v = p / m``.  Periodic wrap replaces
     the reference's padding + crop (``interp.py:216-243, 333-335``),
     which existed only because Voxelize assumed a periodic box.
+
+    ``clamp_support=False`` handles arbitrarily large kernels via the
+    multi-resolution path (:func:`sph_deposit_multires`) instead of
+    clamping h to the static footprint.
+
+    ``edge_removal > 0`` deposits an extra coverage channel (ones per
+    particle) and zeroes cells whose coverage falls below the threshold
+    — the reference's ``edge_removal`` flag (``interp.py:310-323``).
     """
-    values = jnp.concatenate(
-        [particles.vel * particles.mass[:, None], particles.mass[:, None]],
-        axis=1,
-    )
+    values = [
+        particles.vel * particles.mass[:, None], particles.mass[:, None],
+    ]
+    if edge_removal > 0:
+        values.append(jnp.ones((len(particles), 1), particles.pos.dtype))
+    values = jnp.concatenate(values, axis=1)
     h = particles.smoothing_length(smoothing_rate)
-    grid = sph_deposit(
-        particles.pos, values, h, n_grid, particles.box_size,
-        s_max=s_max, kernel=kernel, periodic=periodic,
-    )
+
+    if clamp_support:
+        grid = sph_deposit(
+            particles.pos, values, h, n_grid, particles.box_size,
+            s_max=s_max, kernel=kernel, periodic=periodic,
+        )
+    else:
+        cell = particles.box_size / n_grid
+        max_support = float(jnp.max(h)) / cell
+        levels = 1
+        while s_max * 2 ** (levels - 1) < max_support and \
+                n_grid % (2**levels) == 0:
+            levels += 1
+        grid = sph_deposit_multires(
+            particles.pos, values, h, n_grid, particles.box_size,
+            s_max=s_max, kernel=kernel, periodic=periodic, levels=levels,
+        )
+
     m_grid = grid[3]
+    if edge_removal > 0:
+        covered = grid[4] >= edge_removal
+        m_grid = jnp.where(covered, m_grid, 0.0)
     safe = jnp.where(m_grid > 0, m_grid, 1.0)
     v_grid = jnp.where(m_grid[None] > 0, grid[:3] / safe[None], 0.0)
     return BoxField(

@@ -1,11 +1,10 @@
 from .mesh import make_mesh, mesh_shape_for
-from .planner import Plan, plan_run
+from .planner import Plan, plan_run, estimate_peak_bytes, device_hbm_bytes
 from .pipeline import distributed_spectrum, distributed_folded_sweep
-from .deposit import deposit_ngp_local, deposit_cic_local, local_block_info
+from . import multihost
 
 __all__ = [
-    "make_mesh", "mesh_shape_for",
-    "Plan", "plan_run",
-    "distributed_spectrum", "distributed_folded_sweep",
-    "deposit_ngp_local", "deposit_cic_local", "local_block_info",
+    "make_mesh", "mesh_shape_for", "Plan", "plan_run",
+    "estimate_peak_bytes", "device_hbm_bytes",
+    "distributed_spectrum", "distributed_folded_sweep", "multihost",
 ]

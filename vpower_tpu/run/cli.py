@@ -217,6 +217,11 @@ def main(argv=None) -> int:
     pending = [tuple(int(b) for b in beta) for beta in betas
                if tuple(int(b) for b in beta) not in done]
 
+    from ..utils.profiling import Progress
+
+    progress = Progress(total=max(len(pending), 1),
+                        enabled=sys.stdout.isatty())
+
     if streamed:
         from .streamed import streamed_folded_sweep
 
@@ -228,6 +233,7 @@ def main(argv=None) -> int:
             if n_done[0] == len(done):
                 _log_peak(plan)
             n_done[0] += 1
+            progress.update(1.0, stage=f"beta {s.beta}")
             _log(f"[{n_done[0]}/{len(betas)}] beta={s.beta} "
                  f"accumulated -> {outputfile}")
 
@@ -253,6 +259,7 @@ def main(argv=None) -> int:
         if first:
             _log_peak(plan)
             first = False
+        progress.update(1.0, stage=f"beta {beta_t}")
         _log(f"[{i + 1}/{len(betas)}] beta={beta_t} accumulated -> {outputfile}")
 
     _log("Done.")
