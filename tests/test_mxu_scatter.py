@@ -1,0 +1,144 @@
+"""MXU outer-product deposit kernel: parity with the segment_sum
+engine (interpret mode on CPU), including the window/block boundary
+cases the pair enumeration must mask."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vpower_tpu.deposit import mxu_scatter
+from vpower_tpu.deposit.scatter import deposit_cic, deposit_ngp
+
+
+def _segsum_grid(sids, svals, n_grid):
+    g = jax.ops.segment_sum(
+        svals, sids, num_segments=n_grid**3, indices_are_sorted=True
+    )
+    return np.asarray(g.T.reshape((svals.shape[1],) + (n_grid,) * 3))
+
+
+def _mxu_grid(sids, svals, n_grid):
+    return np.asarray(
+        mxu_scatter.mxu_deposit_sorted(sids, svals, n_grid, interpret=True)
+    )
+
+
+def _check(sids, svals, n_grid):
+    sids = jnp.sort(jnp.asarray(sids, jnp.int32))
+    svals = jnp.asarray(svals, jnp.float32)
+    ref = _segsum_grid(sids, svals, n_grid)
+    got = _mxu_grid(sids, svals, n_grid)
+    np.testing.assert_allclose(got, ref, atol=1e-5 * max(
+        1.0, float(np.abs(ref).max())))
+
+
+def test_supported():
+    assert mxu_scatter.mxu_supported(32)     # 32768 cells = 4 blocks
+    assert mxu_scatter.mxu_supported(512)
+    assert not mxu_scatter.mxu_supported(10)  # 1000 cells
+    assert not mxu_scatter.mxu_supported(2048)  # ids overflow int32
+
+
+def test_uniform_random():
+    rng = np.random.default_rng(0)
+    n_grid, n = 32, 5000
+    sids = rng.integers(0, n_grid**3, n)
+    svals = rng.normal(size=(n, 4))
+    _check(sids, svals, n_grid)
+
+
+def test_all_one_cell():
+    """Heavy clustering: every particle in one cell — many windows
+    revisit one block; accumulation across consecutive steps."""
+    rng = np.random.default_rng(1)
+    n_grid, n = 32, 4096
+    sids = np.full(n, 17)
+    svals = rng.normal(size=(n, 2))
+    _check(sids, svals, n_grid)
+
+
+def test_block_boundary_cells():
+    """Ids straddling block boundaries (CB multiples) and the grid
+    edges — the in-kernel range mask must split them correctly."""
+    rng = np.random.default_rng(2)
+    n_grid = 32
+    cb = mxu_scatter._CB
+    edges = np.concatenate([
+        np.arange(cb - 5, cb + 5),
+        np.arange(2 * cb - 3, 2 * cb + 3),
+        np.array([0, 1, n_grid**3 - 1, n_grid**3 - 2]),
+    ])
+    sids = np.repeat(edges, 300)
+    svals = rng.normal(size=(len(sids), 3))
+    _check(sids, svals, n_grid)
+
+
+def test_sparse_with_gaps():
+    """Mostly-empty grid: gap blocks must come out exactly zero."""
+    rng = np.random.default_rng(3)
+    n_grid = 64
+    sids = np.array([5, 5, 100000, 250000, 262143])
+    svals = rng.normal(size=(5, 1))
+    _check(sids, svals, n_grid)
+    # zero blocks are written
+    grid = _mxu_grid(jnp.asarray(sids, jnp.int32),
+                     jnp.asarray(svals, jnp.float32), n_grid)
+    flat = grid.reshape(1, -1)
+    occupied = set(sids.tolist())
+    mask = np.ones(n_grid**3, bool)
+    mask[list(occupied)] = False
+    assert np.all(flat[0][mask] == 0.0)
+
+
+def test_single_channel_and_many_channels():
+    rng = np.random.default_rng(4)
+    n_grid, n = 32, 2000
+    sids = rng.integers(0, n_grid**3, n)
+    for c in (1, 6, 8):
+        _check(sids, rng.normal(size=(n, c)), n_grid)
+
+
+def test_deposit_ngp_engine_parity():
+    rng = np.random.default_rng(5)
+    n_grid, n, box = 32, 3000, 2.0
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    vals = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    ref = np.asarray(deposit_ngp(pos, vals, n_grid, box, engine="xla"))
+    got = np.asarray(deposit_ngp(pos, vals, n_grid, box,
+                                 engine="mxu_interpret"))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_deposit_cic_engine_parity():
+    """Roll-formulated MXU CIC == direct 8-target CIC."""
+    rng = np.random.default_rng(6)
+    n_grid, n, box = 32, 3000, 1.0
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    vals = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    ref = np.asarray(deposit_cic(pos, vals, n_grid, box, engine="xla"))
+    got = np.asarray(deposit_cic(pos, vals, n_grid, box,
+                                 engine="mxu_interpret"))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_deposit_cic_engine_parity_scalar():
+    rng = np.random.default_rng(7)
+    n_grid, n, box = 32, 1000, 3.0
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    vals = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    ref = np.asarray(deposit_cic(pos, vals, n_grid, box, engine="xla"))
+    got = np.asarray(deposit_cic(pos, vals, n_grid, box,
+                                 engine="mxu_interpret"))
+    assert got.shape == ref.shape == (n_grid,) * 3
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_auto_engine_on_cpu_is_xla():
+    from vpower_tpu.deposit.scatter import resolve_engine
+    assert resolve_engine("auto", 32) == "xla"  # tests force CPU
+
+
+def test_unsupported_grid_raises():
+    with pytest.raises(ValueError):
+        from vpower_tpu.deposit.scatter import resolve_engine
+        resolve_engine("mxu", 10)

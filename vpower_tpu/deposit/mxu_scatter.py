@@ -1,0 +1,224 @@
+"""MXU sorted-segment deposit: the TPU scatter-add, as matmuls.
+
+Replaces ``jax.ops.segment_sum`` on the deposition hot path.  XLA
+lowers segment_sum to a scatter-add, which TPUs serialize row by row
+(~0.94 s for 10M 4-channel updates into a 512^3 grid, measured on
+v5e).  This kernel instead expresses the histogram as matrix products
+on the MXU — the same idea as the shell-binning one-hot histogram
+(``spectrum/power.py``), taken two-level so the one-hot never
+materializes at grid width:
+
+* The grid is split into blocks of ``CB = CBH * CBL`` consecutive flat
+  cell ids.  A cell's in-block id decomposes as ``local = hi * CBL +
+  lo``; its one-hot factorizes into ``oh_hi (K, CBH)`` x ``oh_lo
+  (K, CBL)``, and the block histogram is the outer-product contraction
+  ``out[c, hi, lo] = sum_k oh_hi[k,hi] * oh_lo[k,lo] * v[c,k]`` — one
+  (CBH, K) @ (K, CBL) matmul per channel, entirely on the MXU.
+* Particles arrive sorted by cell id in aligned windows of ``K``.  The
+  grid enumerates (window, block) PAIRS — every block a window's ids
+  touch, plus gap/empty blocks for coverage — with a static bound
+  ``n_windows + n_blocks``.  In-kernel range masking (``0 <= local <
+  CB``) does all boundary work, so a window split across blocks or a
+  block split across windows both fall out for free.
+* Exactness: f32 values are split into three bf16 terms (v = v1 + v2 +
+  v3, each term exactly representable); each term is folded into the
+  hi one-hot and multiplied against the 0/1 lo one-hot, so every
+  matmul is a single exact bf16 MXU pass and the f32 accumulation
+  reproduces the segment_sum result to f32 rounding (measured <= 7e-8
+  relative at 10M particles).  Deterministic: grid order is fixed.
+
+Measured on one v5e chip, 10M particles -> 512^3, 4 channels:
+0.097 s vs 0.94 s for sorted ``segment_sum`` (9.7x).
+
+Reference capability replaced: the ``np.add.at`` deposition scatter
+(``vpower/interp.py:996-1015``) and Voxelize's C++ scatter loop
+(``interp.py:313-320``), re-designed for the MXU rather than ported.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "mxu_supported",
+    "make_deposit_plan",
+    "deposit_planned",
+    "mxu_deposit_sorted",
+    "DepositPlan",
+]
+
+_CBH = 64          # hi one-hot width (sublane dim of the output tile)
+_CBL = 128         # lo one-hot width (lane dim)
+_CB = _CBH * _CBL  # cells per block
+_K = 512           # particles per window
+
+
+def mxu_supported(n_grid: int) -> bool:
+    """Whether the kernel covers this grid: flat ids must fit int32 and
+    the cell count must tile into (CBH, CBL) blocks."""
+    n_cells = n_grid**3
+    return n_cells % _CB == 0 and n_cells + _CB < 2**31
+
+
+class DepositPlan(NamedTuple):
+    """Sorted-id pair tables, reusable across any number of value
+    channels/weightings over the SAME sorted ids (CIC corners, SPH
+    offsets, fold phase sweeps)."""
+
+    ids2: jax.Array   # (W, 1, K) i32 sorted ids, sentinel-padded
+    win: jax.Array    # (G,) i32 window id per grid step
+    blk: jax.Array    # (G,) i32 block id per grid step
+
+
+def make_deposit_plan(sids: jax.Array, n_grid: int) -> DepositPlan:
+    """Build the (window, block) pair tables for ``sids`` (sorted flat
+    cell ids).  Pure XLA, O(N + n_blocks) work."""
+    n_cells = n_grid**3
+    nblk = n_cells // _CB
+    n = sids.shape[0]
+    w = -(-n // _K) + 1          # + one all-sentinel window (pad steps)
+    pad = w * _K - n
+    ids2 = jnp.pad(sids, (0, pad), constant_values=n_cells).reshape(w, 1, _K)
+
+    fb = jnp.minimum(ids2[:, 0, 0] // _CB, nblk - 1)
+    lb = jnp.minimum(ids2[:, 0, -1] // _CB, nblk - 1)
+    lb = lb.at[-1].set(nblk - 1)          # cover trailing blocks
+    start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.minimum(fb[1:], lb[:-1] + 1)]
+    )
+    # start_w covers gap blocks (lb_{w-1}+1 .. fb_w-1) and block-
+    # boundary revisits (start_w == lb_{w-1}); both keep the block
+    # sequence non-decreasing with same-block steps consecutive.
+    nb = lb - start + 1
+    cum = jnp.cumsum(nb)
+    g_real = cum[-1]
+    g_max = w + nblk                       # static bound on pair count
+    g = jnp.arange(g_max, dtype=jnp.int32)
+    w_g = jnp.minimum(
+        jnp.searchsorted(cum, g, side="right").astype(jnp.int32), w - 1
+    )
+    prev = jnp.where(w_g > 0, cum[jnp.maximum(w_g - 1, 0)], 0)
+    b_g = start[w_g] + (g - prev)
+    pad_step = g >= g_real                 # -> all-sentinel window
+    win = jnp.where(pad_step, w - 1, w_g).astype(jnp.int32)
+    blk = jnp.where(
+        pad_step, nblk - 1, jnp.clip(b_g, 0, nblk - 1)
+    ).astype(jnp.int32)
+    return DepositPlan(ids2=ids2, win=win, blk=blk)
+
+
+def _kernel(win_ref, blk_ref, ids_ref, vals_ref, out_ref, *, n_chan):
+    g = pl.program_id(0)
+    b = blk_ref[g]
+    is_first = jnp.logical_or(
+        g == 0, b != blk_ref[jnp.maximum(g - 1, 0)]
+    )
+
+    ids = ids_ref[0]                           # (1, K) i32
+    local = ids - b * _CB
+    valid = (local >= 0) & (local < _CB)       # masks window/block edges
+    localc = jnp.where(valid, local, 0)
+    hi = localc // _CBL                        # (1, K)
+    lo = localc - hi * _CBL
+
+    hi_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (_CBH, _K), 0) == hi
+    )                                          # (CBH, K) bool
+    lo_col = lo.reshape(_K, 1)
+    valid_col = jnp.where(valid, 1, 0).reshape(_K, 1)
+    # 0/1 lo one-hot, exact in bf16.  Select in f32 then cast: Mosaic
+    # cannot relayout an i1 mask from f32 (8,128) to bf16 (16,128)
+    # tiling.
+    rhs0 = jnp.where(
+        (jax.lax.broadcasted_iota(jnp.int32, (_K, _CBL), 1) == lo_col)
+        & (valid_col > 0),
+        jnp.float32(1.0), jnp.float32(0.0),
+    ).astype(jnp.bfloat16)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for c in range(n_chan):
+        val = vals_ref[c, 0]                   # (1, K) f32
+        # Exact 3-term bf16 split (v = v1+v2+v3, each term bf16-exact);
+        # folded into the hi one-hot so every matmul is ONE bf16 MXU
+        # pass with exact products and f32 accumulation.
+        v1 = val.astype(jnp.bfloat16).astype(jnp.float32)
+        r = val - v1
+        v2 = r.astype(jnp.bfloat16).astype(jnp.float32)
+        v3 = r - v2
+        acc = out_ref[c, 0]
+        for term in (v1, v2, v3):
+            lhs = jnp.where(
+                hi_mask, term, jnp.float32(0.0)
+            ).astype(jnp.bfloat16)             # (CBH, K)
+            acc = acc + jnp.dot(
+                lhs, rhs0, preferred_element_type=jnp.float32
+            )
+        out_ref[c, 0] = acc
+
+
+def deposit_planned(
+    plan: DepositPlan,
+    svals: jax.Array,
+    n_grid: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Deposit ``svals`` (N, C) — sorted in the SAME order as the
+    plan's ids — into a CHANNELS-FIRST (C, n, n, n) grid."""
+    n_cells = n_grid**3
+    nblk = n_cells // _CB
+    svals = svals.astype(jnp.float32)   # kernel math is f32/bf16-split
+    n_chan = svals.shape[1]
+    w = plan.ids2.shape[0]
+    pad = w * _K - svals.shape[0]
+    vals_t = jnp.pad(svals.T, ((0, 0), (0, pad))).reshape(n_chan, w, 1, _K)
+    g_max = int(plan.win.shape[0])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(g_max,),
+        in_specs=[
+            pl.BlockSpec((1, 1, _K), lambda g, win, blk: (win[g], 0, 0)),
+            pl.BlockSpec((n_chan, 1, 1, _K),
+                         lambda g, win, blk: (0, win[g], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n_chan, 1, _CBH, _CBL),
+                               lambda g, win, blk: (0, blk[g], 0, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_kernel, n_chan=n_chan),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chan, nblk, _CBH, _CBL), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * g_max * n_chan * _CBH * _CBL * _K,
+            bytes_accessed=n_cells * n_chan * 4
+            + g_max * _K * (n_chan + 1) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(plan.win, plan.blk, plan.ids2, vals_t)
+    # (C, nblk, CBH, CBL) -> (C, n, n, n): flat id = blk*CB + hi*CBL + lo
+    return out.reshape(n_chan, n_grid, n_grid, n_grid)
+
+
+def mxu_deposit_sorted(
+    sids: jax.Array,
+    svals: jax.Array,
+    n_grid: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-shot wrapper: plan + deposit.  ``sids`` must be sorted."""
+    plan = make_deposit_plan(sids, n_grid)
+    return deposit_planned(plan, svals, n_grid, interpret=interpret)

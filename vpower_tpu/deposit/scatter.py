@@ -5,9 +5,19 @@ Multi-channel outputs are CHANNELS-FIRST (C, N, N, N) — see
 
 TPU-native re-design of the reference's ``deposit_to_grid``
 (``vpower/interp.py:996-1015``, ``np.add.at`` scatter).  TPUs have no
-float atomics, so the scatter is expressed as a sort-free XLA
-scatter-add (small N) or a sort + ``segment_sum`` with
-``indices_are_sorted=True`` (large N) — both deterministic.
+float atomics, so the scatter is deterministic by construction; two
+engines implement it:
+
+* ``xla``: sort + ``segment_sum`` (``indices_are_sorted=True``) — runs
+  everywhere, used on CPU meshes and grids the MXU kernel can't tile.
+* ``mxu``: sort + the Pallas outer-product one-hot matmul kernel
+  (:mod:`vpower_tpu.deposit.mxu_scatter`) — ~10x faster on TPU (XLA
+  lowers segment_sum to a serialized scatter-add).
+
+CIC under the ``mxu`` engine uses the ROLL formulation: all eight
+corners deposit at the particle's BASE cell (so one sort serves all
+eight), and the final grid is assembled with seven single-axis
+periodic rolls — ``sum_d roll(G_d, d)`` factored per axis.
 
 All kernels use the reference's periodic-wrap cell assignment
 ``index = floor(pos / Lcell) mod N`` (``interp.py:1011``).
@@ -19,7 +29,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cell_index", "deposit_ngp", "deposit_cic", "sort_by_cell"]
+from . import mxu_scatter
+
+__all__ = ["cell_index", "deposit_ngp", "deposit_cic", "sort_by_cell",
+           "resolve_engine"]
 
 
 def cell_index(pos: jax.Array, n_grid: int, box_size: float) -> jax.Array:
@@ -28,6 +41,24 @@ def cell_index(pos: jax.Array, n_grid: int, box_size: float) -> jax.Array:
     cell = box_size / n_grid
     ijk = jnp.floor(pos / cell).astype(jnp.int32) % n_grid
     return (ijk[:, 0] * n_grid + ijk[:, 1]) * n_grid + ijk[:, 2]
+
+
+def resolve_engine(engine: str, n_grid: int) -> str:
+    """``auto`` -> ``mxu`` on a TPU backend when the grid tiles into the
+    kernel's blocks, else ``xla``.  Explicit values pass through
+    (``mxu_interpret`` exercises the kernel on CPU for tests)."""
+    if engine == "auto":
+        if (jax.default_backend() == "tpu"
+                and mxu_scatter.mxu_supported(n_grid)):
+            return "mxu"
+        return "xla"
+    if engine in ("mxu", "mxu_interpret") and not mxu_scatter.mxu_supported(
+            n_grid):
+        raise ValueError(
+            f"mxu deposit engine cannot tile n_grid={n_grid} "
+            f"(n_grid^3 must divide by {mxu_scatter._CB})"
+        )
+    return engine
 
 
 def sort_by_cell(pos: jax.Array, *arrays, n_grid: int, box_size: float):
@@ -45,14 +76,31 @@ def sort_by_cell(pos: jax.Array, *arrays, n_grid: int, box_size: float):
     return tuple(out)
 
 
-def _segment_deposit(
-    values: jax.Array, ids: jax.Array, n_cells: int, sorted_ids: bool
-) -> jax.Array:
-    """Deterministic scatter-add of ``values`` (N,) or (N, C) into
-    ``n_cells`` buckets."""
-    return jax.ops.segment_sum(
-        values, ids, num_segments=n_cells, indices_are_sorted=sorted_ids
-    )
+def _sort_with_payload(ids: jax.Array, *payload: jax.Array):
+    """Joint sort of int32 ids with 1-D float payload columns (faster
+    than argsort + gathers for few columns)."""
+    res = jax.lax.sort((ids,) + payload, num_keys=1)
+    return res[0], res[1:]
+
+
+def _roll_sum_corners(grids, axis_order=(1, 2, 3)):
+    """``sum_{d in {0,1}^3} roll(grids[d], d)`` with 7 single-axis rolls
+    (4 z + 2 y + 1 x) instead of 24."""
+    ax_x, ax_y, ax_z = axis_order
+    total = None
+    for dx in (0, 1):
+        acc_x = None
+        for dy in (0, 1):
+            g0 = grids[(dx, dy, 0)]
+            g1 = grids[(dx, dy, 1)]
+            acc_y = g0 + jnp.roll(g1, 1, axis=ax_z)
+            if dy == 1:
+                acc_y = jnp.roll(acc_y, 1, axis=ax_y)
+            acc_x = acc_y if acc_x is None else acc_x + acc_y
+        if dx == 1:
+            acc_x = jnp.roll(acc_x, 1, axis=ax_x)
+        total = acc_x if total is None else total + acc_x
+    return total
 
 
 def deposit_ngp(
@@ -61,6 +109,7 @@ def deposit_ngp(
     n_grid: int,
     box_size: float,
     sort: bool = True,
+    engine: str = "auto",
 ) -> jax.Array:
     """Nearest-grid-point scatter: each particle adds ``values`` to its
     containing cell.  Equivalent semantics to ``deposit_to_grid``
@@ -70,21 +119,47 @@ def deposit_ngp(
     ----------
     values : (N,) or (N, C).
     sort : pre-sort by cell id so the segment reduction runs on
-        contiguous runs — the fast path for large N on TPU.
+        contiguous runs — the fast path for large N on TPU (the mxu
+        engine always sorts).
+    engine : ``auto`` | ``xla`` | ``mxu`` | ``mxu_interpret``.
 
     Returns (n, n, n) or CHANNELS-FIRST (C, n, n, n).
     """
+    engine = resolve_engine(engine, n_grid)
+    squeeze = values.ndim == 1
+    vals2 = values[:, None] if squeeze else values
     ids = cell_index(pos, n_grid, box_size)
+
+    if engine in ("mxu", "mxu_interpret"):
+        sids, cols = _sort_with_payload(
+            ids, *(vals2[:, c] for c in range(vals2.shape[1]))
+        )
+        svals = jnp.stack(cols, axis=1)
+        grid = mxu_scatter.mxu_deposit_sorted(
+            sids, svals, n_grid, interpret=engine == "mxu_interpret"
+        )
+        return grid[0] if squeeze else grid
+
     if sort:
         order = jnp.argsort(ids)
         ids = ids[order]
-        values = values[order]
-    grid = _segment_deposit(values, ids, n_grid**3, sort)
-    if values.ndim == 2:
-        # CHANNELS-FIRST output: a trailing small channel dim in a
-        # materialized TPU layout pads to 128 lanes (~43x HBM)
-        return grid.T.reshape((values.shape[1],) + (n_grid,) * 3)
-    return grid.reshape((n_grid,) * 3)
+        vals2 = vals2[order]
+    grid = jax.ops.segment_sum(
+        vals2, ids, num_segments=n_grid**3, indices_are_sorted=sort
+    )
+    # CHANNELS-FIRST output: a trailing small channel dim in a
+    # materialized TPU layout pads to 128 lanes (~43x HBM)
+    grid = grid.T.reshape((vals2.shape[1],) + (n_grid,) * 3)
+    return grid[0] if squeeze else grid
+
+
+def _cic_base_frac(pos: jax.Array, n_grid: int, box_size: float):
+    cell = box_size / n_grid
+    # Offset by half a cell: CIC weights are relative to cell centers.
+    u = pos / cell - 0.5
+    base = jnp.floor(u).astype(jnp.int32)
+    frac = u - base  # in [0, 1)
+    return base, frac
 
 
 def deposit_cic(
@@ -93,6 +168,7 @@ def deposit_cic(
     n_grid: int,
     box_size: float,
     sort: bool = True,
+    engine: str = "auto",
 ) -> jax.Array:
     """Cloud-in-cell (trilinear) scatter with periodic wrap.
 
@@ -101,15 +177,39 @@ def deposit_cic(
     mass-conserving baseline for the SPH path
     (SURVEY.md §2.3 "Voxelize" replacement).
     """
-    cell = box_size / n_grid
-    # Offset by half a cell: CIC weights are relative to cell centers.
-    u = pos / cell - 0.5
-    base = jnp.floor(u).astype(jnp.int32)
-    frac = u - base  # in [0, 1)
-
+    engine = resolve_engine(engine, n_grid)
     squeeze = values.ndim == 1
-    if squeeze:
-        values = values[:, None]
+    vals2 = values[:, None] if squeeze else values
+    base, frac = _cic_base_frac(pos, n_grid, box_size)
+
+    if engine in ("mxu", "mxu_interpret"):
+        interpret = engine == "mxu_interpret"
+        n_chan = vals2.shape[1]
+        basew = base % n_grid
+        ids = (basew[:, 0] * n_grid + basew[:, 1]) * n_grid + basew[:, 2]
+        # One sort serves all 8 corners (deposit at base + roll).
+        sids, cols = _sort_with_payload(
+            ids,
+            *(vals2[:, c] for c in range(n_chan)),
+            frac[:, 0], frac[:, 1], frac[:, 2],
+        )
+        svals = jnp.stack(cols[:n_chan], axis=1)
+        fx, fy, fz = cols[n_chan], cols[n_chan + 1], cols[n_chan + 2]
+        plan = mxu_scatter.make_deposit_plan(sids, n_grid)
+
+        grids = {}
+        for dx in (0, 1):
+            wx = fx if dx else 1.0 - fx
+            for dy in (0, 1):
+                wy = fy if dy else 1.0 - fy
+                for dz in (0, 1):
+                    wz = fz if dz else 1.0 - fz
+                    w = (wx * wy * wz)[:, None]
+                    grids[(dx, dy, dz)] = mxu_scatter.deposit_planned(
+                        plan, svals * w, n_grid, interpret=interpret
+                    )
+        grid = _roll_sum_corners(grids)
+        return grid[0] if squeeze else grid
 
     grids = []
     ids_all = []
@@ -128,7 +228,7 @@ def deposit_cic(
 
     ids = jnp.concatenate(ids_all)
     w = jnp.concatenate(w_all)
-    vals = jnp.tile(values, (8, 1)) * w[:, None]
+    vals = jnp.tile(vals2, (8, 1)) * w[:, None]
     if sort:
         order = jnp.argsort(ids)
         ids = ids[order]
@@ -136,7 +236,5 @@ def deposit_cic(
     grid = jax.ops.segment_sum(
         vals, ids, num_segments=n_grid**3, indices_are_sorted=sort
     )
-    grid = grid.T.reshape((values.shape[1],) + (n_grid,) * 3)
-    if squeeze:
-        grid = grid[0]
-    return grid
+    grid = grid.T.reshape((vals2.shape[1],) + (n_grid,) * 3)
+    return grid[0] if squeeze else grid
