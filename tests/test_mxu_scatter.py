@@ -142,3 +142,21 @@ def test_unsupported_grid_raises():
     with pytest.raises(ValueError):
         from vpower_tpu.deposit.scatter import resolve_engine
         resolve_engine("mxu", 10)
+
+
+def test_sph_engine_parity():
+    """MXU roll-formulated SPH == XLA scan scatter."""
+    from vpower_tpu.deposit.sph import sph_deposit
+    rng = np.random.default_rng(8)
+    n_grid, n, box = 32, 2000, 1.0
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    vals = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    h = jnp.asarray(rng.uniform(0.3, 2.5, n) / n_grid, jnp.float32)
+    ref = np.asarray(sph_deposit(pos, vals, h, n_grid, box, s_max=1,
+                                 engine="xla"))
+    got = np.asarray(sph_deposit(pos, vals, h, n_grid, box, s_max=1,
+                                 engine="mxu_interpret"))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    # conservation through the mxu path
+    np.testing.assert_allclose(got.sum(axis=(1, 2, 3)),
+                               np.asarray(vals.sum(axis=0)), rtol=1e-4)

@@ -37,7 +37,7 @@ Reference capability replaced: the ``np.add.at`` deposition scatter
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -112,7 +112,12 @@ def make_deposit_plan(sids: jax.Array, n_grid: int) -> DepositPlan:
     return DepositPlan(ids2=ids2, win=win, blk=blk)
 
 
-def _kernel(win_ref, blk_ref, ids_ref, vals_ref, out_ref, *, n_chan):
+def _kernel(win_ref, blk_ref, ids_ref, vals_ref, *rest, n_chan,
+            accumulate):
+    if accumulate:
+        carry_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     g = pl.program_id(0)
     b = blk_ref[g]
     is_first = jnp.logical_or(
@@ -142,7 +147,14 @@ def _kernel(win_ref, blk_ref, ids_ref, vals_ref, out_ref, *, n_chan):
 
     @pl.when(is_first)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        # Accumulate mode seeds each block window from the aliased
+        # carry (in-place +=); plain mode zero-inits.  Same-block grid
+        # steps are consecutive, so the window is live across a run and
+        # the carry is read exactly once per block.
+        if accumulate:
+            out_ref[...] = carry_ref[...]
+        else:
+            out_ref[...] = jnp.zeros_like(out_ref)
 
     for c in range(n_chan):
         val = vals_ref[c, 0]                   # (1, K) f32
@@ -169,9 +181,16 @@ def deposit_planned(
     svals: jax.Array,
     n_grid: int,
     interpret: bool = False,
+    carry: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Deposit ``svals`` (N, C) — sorted in the SAME order as the
-    plan's ids — into a CHANNELS-FIRST (C, n, n, n) grid."""
+    plan's ids — into a CHANNELS-FIRST (C, n, n, n) grid.
+
+    With ``carry`` (same shape as the output), the kernel ACCUMULATES
+    in place: the carry buffer is aliased to the output and each block
+    window is seeded from it instead of zeros.  Chains of deposits
+    (CIC corners, SPH offsets) then keep exactly ONE grid live instead
+    of materializing a grid per call."""
     n_cells = n_grid**3
     nblk = n_cells // _CB
     svals = svals.astype(jnp.float32)   # kernel math is f32/bf16-split
@@ -180,20 +199,33 @@ def deposit_planned(
     pad = w * _K - svals.shape[0]
     vals_t = jnp.pad(svals.T, ((0, 0), (0, pad))).reshape(n_chan, w, 1, _K)
     g_max = int(plan.win.shape[0])
+    accumulate = carry is not None
+
+    out_spec = pl.BlockSpec((n_chan, 1, _CBH, _CBL),
+                            lambda g, win, blk: (0, blk[g], 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, 1, _K), lambda g, win, blk: (win[g], 0, 0)),
+        pl.BlockSpec((n_chan, 1, 1, _K),
+                     lambda g, win, blk: (0, win[g], 0, 0)),
+    ]
+    operands = [plan.win, plan.blk, plan.ids2, vals_t]
+    kwargs = {}
+    if accumulate:
+        in_specs.append(out_spec)
+        operands.append(
+            carry.astype(jnp.float32).reshape(n_chan, nblk, _CBH, _CBL)
+        )
+        # operand index counts the scalar-prefetch args (win, blk)
+        kwargs["input_output_aliases"] = {4: 0}
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(g_max,),
-        in_specs=[
-            pl.BlockSpec((1, 1, _K), lambda g, win, blk: (win[g], 0, 0)),
-            pl.BlockSpec((n_chan, 1, 1, _K),
-                         lambda g, win, blk: (0, win[g], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((n_chan, 1, _CBH, _CBL),
-                               lambda g, win, blk: (0, blk[g], 0, 0)),
+        in_specs=in_specs,
+        out_specs=out_spec,
     )
     out = pl.pallas_call(
-        partial(_kernel, n_chan=n_chan),
+        partial(_kernel, n_chan=n_chan, accumulate=accumulate),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_chan, nblk, _CBH, _CBL), jnp.float32
@@ -208,7 +240,8 @@ def deposit_planned(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(plan.win, plan.blk, plan.ids2, vals_t)
+        **kwargs,
+    )(*operands)
     # (C, nblk, CBH, CBL) -> (C, n, n, n): flat id = blk*CB + hi*CBL + lo
     return out.reshape(n_chan, n_grid, n_grid, n_grid)
 
@@ -222,3 +255,59 @@ def mxu_deposit_sorted(
     """One-shot wrapper: plan + deposit.  ``sids`` must be sorted."""
     plan = make_deposit_plan(sids, n_grid)
     return deposit_planned(plan, svals, n_grid, interpret=interpret)
+
+
+def snake_offsets(axis_vals):
+    """All 3-D offsets over ``axis_vals`` ordered so consecutive
+    entries differ by +-1 on exactly one axis (boustrophedon)."""
+    vals = list(axis_vals)
+    seq = []
+    flip_y = False
+    flip_z = False
+    for dx in vals:
+        for dy in (vals[::-1] if flip_y else vals):
+            for dz in (vals[::-1] if flip_z else vals):
+                seq.append((dx, dy, dz))
+            flip_z = not flip_z
+        flip_y = not flip_y
+    return seq
+
+
+def deposit_offsets_rolled(
+    plan: DepositPlan,
+    svals: jax.Array,
+    weight_fn,
+    axis_vals,
+    n_grid: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """``sum_d roll(deposit(weight_fn(d) * svals), d)`` over the 3-D
+    offset lattice ``axis_vals^3`` — the shared shape of CIC corners
+    and SPH footprints — with exactly ONE grid live.
+
+    Offsets are visited in snake order in a ROTATING FRAME: with
+    ``B_k = roll(T_k, -d_k)`` (T_k the physical partial sum), the
+    update is ``B_k = roll(B_{k-1}, d_{k-1} - d_k) + G_k`` — a single
+    one-axis +-1 roll per offset — and each ``G_k`` accumulates
+    IN PLACE via the kernel's aliased carry.  A naive
+    ``sum(roll(...))`` materializes a grid per offset; XLA schedules
+    them concurrently and OOMs at 512^3 (observed 23 GB for 27
+    offsets)."""
+    acc = None
+    prev = None
+    for d in snake_offsets(axis_vals):
+        if prev is not None:
+            shift = tuple(p - c for p, c in zip(prev, d))
+            for ax, s in enumerate(shift):
+                if s:
+                    acc = jnp.roll(acc, s, axis=1 + ax)
+        w = weight_fn(d)
+        acc = deposit_planned(
+            plan, svals * w[:, None], n_grid,
+            interpret=interpret, carry=acc,
+        )
+        prev = d
+    for ax, s in enumerate(prev):
+        if s:
+            acc = jnp.roll(acc, s, axis=1 + ax)
+    return acc

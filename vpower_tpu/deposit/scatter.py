@@ -83,26 +83,6 @@ def _sort_with_payload(ids: jax.Array, *payload: jax.Array):
     return res[0], res[1:]
 
 
-def _roll_sum_corners(grids, axis_order=(1, 2, 3)):
-    """``sum_{d in {0,1}^3} roll(grids[d], d)`` with 7 single-axis rolls
-    (4 z + 2 y + 1 x) instead of 24."""
-    ax_x, ax_y, ax_z = axis_order
-    total = None
-    for dx in (0, 1):
-        acc_x = None
-        for dy in (0, 1):
-            g0 = grids[(dx, dy, 0)]
-            g1 = grids[(dx, dy, 1)]
-            acc_y = g0 + jnp.roll(g1, 1, axis=ax_z)
-            if dy == 1:
-                acc_y = jnp.roll(acc_y, 1, axis=ax_y)
-            acc_x = acc_y if acc_x is None else acc_x + acc_y
-        if dx == 1:
-            acc_x = jnp.roll(acc_x, 1, axis=ax_x)
-        total = acc_x if total is None else total + acc_x
-    return total
-
-
 def deposit_ngp(
     pos: jax.Array,
     values: jax.Array,
@@ -197,18 +177,16 @@ def deposit_cic(
         fx, fy, fz = cols[n_chan], cols[n_chan + 1], cols[n_chan + 2]
         plan = mxu_scatter.make_deposit_plan(sids, n_grid)
 
-        grids = {}
-        for dx in (0, 1):
-            wx = fx if dx else 1.0 - fx
-            for dy in (0, 1):
-                wy = fy if dy else 1.0 - fy
-                for dz in (0, 1):
-                    wz = fz if dz else 1.0 - fz
-                    w = (wx * wy * wz)[:, None]
-                    grids[(dx, dy, dz)] = mxu_scatter.deposit_planned(
-                        plan, svals * w, n_grid, interpret=interpret
-                    )
-        grid = _roll_sum_corners(grids)
+        def corner_weight(d):
+            dx, dy, dz = d
+            return ((fx if dx else 1.0 - fx)
+                    * (fy if dy else 1.0 - fy)
+                    * (fz if dz else 1.0 - fz))
+
+        grid = mxu_scatter.deposit_offsets_rolled(
+            plan, svals, corner_weight, (0, 1), n_grid,
+            interpret=interpret,
+        )
         return grid[0] if squeeze else grid
 
     grids = []

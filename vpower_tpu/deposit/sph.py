@@ -38,6 +38,8 @@ import jax.numpy as jnp
 
 from ..core.field import BoxField
 from ..core.particles import Particles
+from . import mxu_scatter
+from .scatter import resolve_engine
 
 __all__ = [
     "sph_deposit",
@@ -80,7 +82,7 @@ def _offsets(s_max: int) -> np.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("n_grid", "s_max", "kernel", "periodic"),
+    static_argnames=("n_grid", "s_max", "kernel", "periodic", "engine"),
 )
 def sph_deposit(
     pos: jax.Array,
@@ -91,11 +93,19 @@ def sph_deposit(
     s_max: int = 2,
     kernel: str = "cubic_spline",
     periodic: bool = True,
+    engine: str = "auto",
 ) -> jax.Array:
     """Scatter (N, C) ``values`` with per-particle kernel radii ``h``
     into a CHANNELS-FIRST (C, n, n, n) grid.  Per-particle weights sum
     to exactly 1 over the sampled footprint, so column sums are
-    conserved."""
+    conserved.
+
+    ``engine='mxu'`` (auto on TPU) deposits every offset at the
+    particle's BASE cell through the MXU matmul kernel — one cell sort
+    shared by all (2 s_max + 1)^3 offsets — and assembles the grid with
+    single-axis periodic rolls (measured 23.5 s -> ~2.5 s at 10M
+    particles, 512^3, s_max=1 on one v5e chip).
+    """
     dtype = pos.dtype
     n_cells = n_grid**3
     cell = box_size / n_grid
@@ -103,6 +113,13 @@ def sph_deposit(
     # Clamp support to the static footprint (reference analog: uniform
     # padding cap, interp.py:216-243).
     h_eff = jnp.clip(h, 1e-6 * cell, (s_max + 0.5) * cell)
+    engine = resolve_engine(engine, n_grid)
+
+    if engine in ("mxu", "mxu_interpret"):
+        return _sph_deposit_mxu(
+            pos, values, h_eff, n_grid, box_size, s_max, kernel, periodic,
+            interpret=engine == "mxu_interpret",
+        )
 
     base = jnp.floor(pos / cell).astype(jnp.int32)  # own cell (pre-wrap)
     offsets = jnp.asarray(_offsets(s_max))
@@ -151,6 +168,67 @@ def sph_deposit(
     return grid.T.reshape((values.shape[1],) + (n_grid,) * 3)
 
 
+def _sph_deposit_mxu(
+    pos, values, h_eff, n_grid, box_size, s_max, kernel, periodic,
+    interpret=False,
+):
+    """MXU-engine SPH scatter: deposit at base, roll to offset.
+
+    Every offset d contributes ``w_d * values`` at the particle's base
+    cell of a per-offset grid ``G_d``; the physical grid is
+    ``sum_d roll(G_d, d)``.  One sort (+ one deposit plan) serves all
+    offsets; rolls are factored per axis.
+    """
+    dtype = pos.dtype
+    cell = box_size / n_grid
+    n_chan = values.shape[1]
+    base = jnp.floor(pos / cell).astype(jnp.int32)
+    basew = jnp.clip(base, 0, n_grid - 1)   # pos in [0, box) up to fp
+    ids = (basew[:, 0] * n_grid + basew[:, 1]) * n_grid + basew[:, 2]
+
+    res = jax.lax.sort(
+        (ids,)
+        + tuple(values[:, c] for c in range(n_chan))
+        + (pos[:, 0], pos[:, 1], pos[:, 2], h_eff),
+        num_keys=1,
+    )
+    sids = res[0]
+    svals = jnp.stack(res[1:1 + n_chan], axis=1)
+    spos = jnp.stack(res[1 + n_chan:4 + n_chan], axis=1)
+    sh = res[4 + n_chan]
+    sbase = jnp.floor(spos / cell).astype(jnp.int32)
+    plan = mxu_scatter.make_deposit_plan(sids, n_grid)
+
+    def offset_weight(off):
+        center = (sbase.astype(dtype) + jnp.asarray(off, dtype) + 0.5) * cell
+        delta = spos - center
+        if periodic:
+            delta = delta - box_size * jnp.round(delta / box_size)
+        r = jnp.sqrt(jnp.sum(delta * delta, axis=1))
+        return kernel_weight(r / sh, kernel)
+
+    offs = range(-s_max, s_max + 1)
+    wsum = jnp.zeros(spos.shape[0], dtype)
+    for dx in offs:
+        for dy in offs:
+            for dz in offs:
+                wsum = wsum + offset_weight((dx, dy, dz))
+    degenerate = wsum <= 0.0
+    wsum = jnp.where(degenerate, 1.0, wsum)
+
+    def norm_weight(d):
+        w = offset_weight(d) / wsum
+        return jnp.where(
+            degenerate,
+            jnp.asarray(1.0 if d == (0, 0, 0) else 0.0, dtype),
+            w,
+        )
+
+    return mxu_scatter.deposit_offsets_rolled(
+        plan, svals, norm_weight, offs, n_grid, interpret=interpret
+    )
+
+
 def _upsample_add(fine: jax.Array, coarse: jax.Array, factor: int) -> jax.Array:
     """Add a (C, n/f, n/f, n/f) coarse block grid into the fine grid,
     spreading each coarse cell's content equally over its f^3 children
@@ -172,6 +250,7 @@ def sph_deposit_multires(
     kernel: str = "cubic_spline",
     periodic: bool = True,
     levels: int = 1,
+    engine: str = "auto",
 ) -> jax.Array:
     """Adaptive-support SPH scatter WITHOUT clamping large kernels.
 
@@ -186,7 +265,7 @@ def sph_deposit_multires(
     """
     if levels <= 1:
         return sph_deposit(pos, values, h, n_grid, box_size, s_max=s_max,
-                           kernel=kernel, periodic=periodic)
+                           kernel=kernel, periodic=periodic, engine=engine)
     assert n_grid % (2 ** (levels - 1)) == 0, (
         "n_grid must divide by 2^(levels-1)"
     )
@@ -204,6 +283,7 @@ def sph_deposit_multires(
         gk = sph_deposit(
             pos, vals_k, h, n_grid >> k, box_size,
             s_max=s_max, kernel=kernel, periodic=periodic,
+            engine="auto" if engine == "auto" else engine,
         )
         if k == 0:
             grid = gk
@@ -221,6 +301,7 @@ def sph_interp_to_field(
     periodic: bool = True,
     clamp_support: bool = True,
     edge_removal: float = 0.0,
+    engine: str = "auto",
 ) -> BoxField:
     """SPH-deposit ``[m*v, m]`` and form a BoxField.
 
@@ -250,7 +331,7 @@ def sph_interp_to_field(
     if clamp_support:
         grid = sph_deposit(
             particles.pos, values, h, n_grid, particles.box_size,
-            s_max=s_max, kernel=kernel, periodic=periodic,
+            s_max=s_max, kernel=kernel, periodic=periodic, engine=engine,
         )
     else:
         cell = particles.box_size / n_grid
@@ -262,6 +343,7 @@ def sph_interp_to_field(
         grid = sph_deposit_multires(
             particles.pos, values, h, n_grid, particles.box_size,
             s_max=s_max, kernel=kernel, periodic=periodic, levels=levels,
+            engine=engine,
         )
 
     m_grid = grid[3]
