@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..core.field import BoxField, FoldedField
 from ..core.particles import Particles
+from ..deposit import mxu_scatter
 from ..deposit.scatter import deposit_cic, deposit_ngp
 from ..spectrum import fold as fold_mod
 from ..spectrum import power as power_mod
@@ -379,6 +380,14 @@ def _fused_fold_sweep_device(
     values_s = vals[order]
     qidx_s = idx_full[order].astype(jnp.float32)
 
+    # The deposit plan depends only on the sorted ids: hoisted out of
+    # the beta scan alongside the sort (one plan serves every beta).
+    use_mxu = (jax.default_backend() == "tpu"
+               and mxu_scatter.mxu_supported(n_grid))
+    deposit_plan = (
+        mxu_scatter.make_deposit_plan(ids_s, n_grid) if use_mxu else None
+    )
+
     kmin = 2.0 * jnp.pi / box
 
     # Bin on the GLOBAL lattice: kmin/spacing from the full box.
@@ -387,15 +396,24 @@ def _fused_fold_sweep_device(
         theta = (2.0 * jnp.pi / n_total) * (qidx_s @ beta.astype(jnp.float32))
         cosw = jnp.cos(theta)[:, None] * values_s
         sinw = -jnp.sin(theta)[:, None] * values_s
-        g_re = jax.ops.segment_sum(cosw, ids_s, num_segments=n_cells,
-                                   indices_are_sorted=True)
-        g_im = jax.ops.segment_sum(sinw, ids_s, num_segments=n_cells,
-                                   indices_are_sorted=True)
         n_ch = values_s.shape[1]
-        grid = jax.lax.complex(
-            g_re.T.reshape((n_ch,) + (n_grid,) * 3),
-            g_im.T.reshape((n_ch,) + (n_grid,) * 3),
-        )
+        if use_mxu:
+            # re/im as 2C channels of ONE MXU deposit (the phased
+            # scatter-add is the per-beta hot spot).
+            g6 = mxu_scatter.deposit_planned(
+                deposit_plan, jnp.concatenate([cosw, sinw], axis=1),
+                n_grid,
+            )
+            grid = jax.lax.complex(g6[:n_ch], g6[n_ch:])
+        else:
+            g_re = jax.ops.segment_sum(cosw, ids_s, num_segments=n_cells,
+                                       indices_are_sorted=True)
+            g_im = jax.ops.segment_sum(sinw, ids_s, num_segments=n_cells,
+                                       indices_are_sorted=True)
+            grid = jax.lax.complex(
+                g_re.T.reshape((n_ch,) + (n_grid,) * 3),
+                g_im.T.reshape((n_ch,) + (n_grid,) * 3),
+            )
         p_grid = power_mod.vector_power_from_complex(grid, folded_box)
         kshift = 2.0 * jnp.pi * beta.astype(p_grid.dtype) / box
         bins = power_mod.bin_grid_local(
