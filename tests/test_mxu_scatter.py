@@ -160,3 +160,17 @@ def test_sph_engine_parity():
     # conservation through the mxu path
     np.testing.assert_allclose(got.sum(axis=(1, 2, 3)),
                                np.asarray(vals.sum(axis=0)), rtol=1e-4)
+
+
+def test_seed_grids_engine_parity():
+    """MXU-deposited seed grids == scatter-built seed grids."""
+    from vpower_tpu.deposit.nn import _seed_grids
+    rng = np.random.default_rng(9)
+    n_grid, n = 32, 3000
+    pos = jnp.asarray(rng.uniform(0, 1.0, (n, 3)), jnp.float32)
+    si_ref, sp_ref = _seed_grids(pos, n_grid, 1.0, 2, engine="xla")
+    si_got, sp_got = _seed_grids(pos, n_grid, 1.0, 2,
+                                 engine="mxu_interpret")
+    np.testing.assert_array_equal(np.asarray(si_got), np.asarray(si_ref))
+    np.testing.assert_allclose(np.asarray(sp_got), np.asarray(sp_ref),
+                               atol=1e-6)

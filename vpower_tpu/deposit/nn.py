@@ -56,6 +56,7 @@ import jax.numpy as jnp
 
 from ..core.field import BoxField
 from ..core.particles import Particles
+from . import mxu_scatter
 
 __all__ = ["nn_assign", "nn_brute_force", "nn_interp_to_field"]
 
@@ -66,14 +67,24 @@ _COARSEST = 8  # grid size solved by dense all-pairs distance
 # seeds                                                                  #
 # ---------------------------------------------------------------------- #
 def _seed_grids(pos: jax.Array, n_grid: int, box_size: float, n_seeds: int,
-                valid=None):
+                valid=None, engine: str = "auto"):
     """Rank-k nearest-to-own-cell-center particle per cell, k < n_seeds.
 
     Returns ``(seed_idx (k,n,n,n) i32, seed_pos (k,3,n,n,n))`` with
     ``seed_idx == -1`` marking cells holding fewer than k+1 particles.
     ``valid`` masks padding rows out of every seed grid (block-streamed
     callers pad particle sets to a fixed shape).
+
+    On TPU the 4 * n_seeds per-rank XLA scatters (1.16 s at 512^3/10M)
+    collapse into ONE MXU deposit (:mod:`.mxu_scatter`): each rank
+    contributes masked channels [idx_hi, idx_lo, x, y, z] at its cell —
+    at most one winner per (cell, rank), so add == set, and losers add
+    exact zeros.  The particle index rides as two small-integer f32
+    channels (hi = (i+1) >> 11, lo = (i+1) & 2047 — both exact in f32)
+    recombined in int32; (0, 0) decodes to the empty marker -1.
     """
+    from .scatter import resolve_engine
+
     n_cells = n_grid**3
     cell = box_size / n_grid
     ijk = jnp.floor(pos / cell).astype(jnp.int32) % n_grid
@@ -84,6 +95,40 @@ def _seed_grids(pos: jax.Array, n_grid: int, box_size: float, n_seeds: int,
     d2 = jnp.sum((pos - centers) ** 2, axis=1)
 
     pidx = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    engine = resolve_engine(engine, n_grid)
+
+    if engine in ("mxu", "mxu_interpret") and pos.dtype == jnp.float32:
+        # positions ride as sort payloads: no post-sort gathers at all
+        ids_s, _, pidx_s, px, py, pz = jax.lax.sort(
+            (ids, d2, pidx, pos[:, 0], pos[:, 1], pos[:, 2]), num_keys=2
+        )
+        new_seg = ids_s[1:] != ids_s[:-1]
+        rank_mask = jnp.concatenate([jnp.array([True]), new_seg])  # k = 0
+        enc = pidx_s + 1
+        hi = (enc >> 11).astype(jnp.float32)
+        lo = (enc & 2047).astype(jnp.float32)
+        chans = []
+        for k in range(n_seeds):
+            m = rank_mask.astype(jnp.float32)
+            chans.extend([hi * m, lo * m, px * m, py * m, pz * m])
+            if k + 1 < n_seeds:
+                rank_mask = jnp.concatenate(
+                    [jnp.array([False]), rank_mask[:-1] & ~new_seg]
+                )
+        plan = mxu_scatter.make_deposit_plan(ids_s, n_grid)
+        grid = mxu_scatter.deposit_planned(
+            plan, jnp.stack(chans, axis=1), n_grid,
+            interpret=engine == "mxu_interpret",
+        )  # (5 * n_seeds, n, n, n)
+        idx_list, pos_list = [], []
+        for k in range(n_seeds):
+            g = grid[5 * k:5 * k + 5]
+            enc_k = (jnp.round(g[0]).astype(jnp.int32) << 11) + \
+                jnp.round(g[1]).astype(jnp.int32)
+            idx_list.append(enc_k - 1)
+            pos_list.append(g[2:5])
+        return jnp.stack(idx_list), jnp.stack(pos_list)
+
     ids_s, _, pidx_s = jax.lax.sort((ids, d2, pidx), num_keys=2)
 
     new_seg = ids_s[1:] != ids_s[:-1]
