@@ -9,10 +9,13 @@ prints one JSON line per stage.  Usage::
 """
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def sync(x):
@@ -32,7 +35,8 @@ def timed(fn, *args, repeats=2):
         r = fn(*args)
         sync(r)
         best = min(best, time.perf_counter() - t0)
-    return best, r
+    del r   # free device HBM before the next stage
+    return best, None
 
 
 def main(argv=None):
@@ -79,13 +83,15 @@ def main(argv=None):
     )
     report("deposit_sph_smax1", t, NP, "particles")
 
-    t, idx = timed(jax.jit(lambda p: nn_assign(p, N, 1.0)), pos)
+    t, _ = timed(jax.jit(lambda p: nn_assign(p, N, 1.0)), pos)
     report("nn_assign", t, N**3, "queries")
 
     v_grid = jax.random.normal(jax.random.PRNGKey(1), (3, N, N, N), jnp.float32)
-    t, p_grid = timed(jax.jit(lambda v: vector_power(v, 1.0)), v_grid)
+    t, _ = timed(jax.jit(lambda v: vector_power(v, 1.0)), v_grid)
     report("vector_power_3xFFT", t, 3 * N**3, "modes")
 
+    p_grid = jax.jit(lambda v: vector_power(v, 1.0))(v_grid)
+    del v_grid
     t, _ = timed(jax.jit(lambda p: shell_bin(p, 1.0)), p_grid)
     report("shell_bin", t, N**3, "modes")
 

@@ -527,10 +527,14 @@ def nn_assign(
             # the kernel compares candidates in parallel (no in-pass
             # chaining like the scan sweep), so give it one extra pass —
             # each pass is a single cheap HBM sweep
+            # zc=256 where it divides n: 2x fewer, 2x larger DMA rows
+            # than zc=128 — the sweep is DMA-descriptor-bound (measured
+            # 2.24 -> 1.85 s nn_assign at 512^3); zc=512 overflows VMEM.
+            zc = 256 if n % 256 == 0 else 128
             for _ in range(level_rounds + 1):
                 bi, bp, _ = sweep_tiles(
                     bi, bp, ki_p, kp_p, float(box_size), periodic=periodic,
-                    seeds_prepadded=True,
+                    seeds_prepadded=True, zc=zc,
                 )
             bd = jnp.where(bi >= 0, dist2_at[n](bp), big)
             state = (bi, bp, bd)

@@ -46,7 +46,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core.particles import Particles
+from ..deposit import mxu_scatter
 from ..deposit.nn import nn_assign
+from ..deposit.scatter import resolve_engine
 from ..spectrum import power as power_mod
 from ..spectrum.fold import get_phase
 from ..spectrum.spectrum import PowerSpectrum, SpectrumList, init_beta_space
@@ -251,16 +253,32 @@ def _scatter_block_values(
         vals_all.append(values if w is None else values * w[:, None])
     ids = jnp.concatenate(ids_all) if len(ids_all) > 1 else ids_all[0]
     vals = jnp.concatenate(vals_all) if len(vals_all) > 1 else vals_all[0]
-    grid = jax.ops.segment_sum(vals, ids, num_segments=n_cells + 1)[:n_cells]
-    mv, mg = grid[:, :3], grid[:, 3]
+
+    engine = resolve_engine("auto", n_grid)
+    if engine == "mxu":
+        # outside-block ids hold the sentinel n_cells — exactly the
+        # value the deposit plan's pair tables mask out.
+        res = jax.lax.sort(
+            (ids,) + tuple(vals[:, c] for c in range(vals.shape[1])),
+            num_keys=1,
+        )
+        flat4 = mxu_scatter.mxu_deposit_sorted(
+            res[0], jnp.stack(res[1:], axis=1), n_grid
+        ).reshape(vals.shape[1], n_cells)
+    else:
+        grid = jax.ops.segment_sum(
+            vals, ids, num_segments=n_cells + 1
+        )[:n_cells]
+        flat4 = grid.T
+    mv, mg = flat4[:3], flat4[3]
     if quantity == "momentum":
-        return mv.T
+        return mv
     safe = jnp.where(mg > 0, mg, 1.0)
-    v = jnp.where(mg[:, None] > 0, mv / safe[:, None], 0.0)
+    v = jnp.where(mg[None] > 0, mv / safe[None], 0.0)
     if quantity == "velocity":
-        return v.T
+        return v
     if quantity == "energy":
-        return (mg * jnp.sum(v**2, axis=1))[None]
+        return (mg * jnp.sum(v**2, axis=0))[None]
     raise ValueError(f"Unsupported quantity {quantity!r}")
 
 
