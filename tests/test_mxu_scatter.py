@@ -174,3 +174,22 @@ def test_seed_grids_engine_parity():
     np.testing.assert_array_equal(np.asarray(si_got), np.asarray(si_ref))
     np.testing.assert_allclose(np.asarray(sp_got), np.asarray(sp_ref),
                                atol=1e-6)
+
+
+def test_scatter_local_slab_parity():
+    """Flat slab id spaces (sharded local deposits) through the kernel,
+    including the drop bucket (ids == n_cells)."""
+    from vpower_tpu.parallel.deposit import _scatter_local
+    rng = np.random.default_rng(10)
+    shape = (16, 32, 64)                  # slab, n_cells = 32768
+    n_cells = int(np.prod(shape))
+    n = 4000
+    ids = rng.integers(0, n_cells + 1, n)  # includes dropped rows
+    vals = rng.normal(size=(n, 4))
+    ref = np.asarray(_scatter_local(
+        jnp.asarray(ids, jnp.int32), jnp.asarray(vals, jnp.float32),
+        n_cells, shape, engine="xla"))
+    got = np.asarray(_scatter_local(
+        jnp.asarray(ids, jnp.int32), jnp.asarray(vals, jnp.float32),
+        n_cells, shape, engine="mxu_interpret"))
+    np.testing.assert_allclose(got, ref, atol=1e-5)

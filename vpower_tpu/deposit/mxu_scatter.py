@@ -46,9 +46,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "mxu_supported",
+    "mxu_supported_cells",
     "make_deposit_plan",
     "deposit_planned",
     "mxu_deposit_sorted",
+    "deposit_offsets_rolled",
+    "snake_offsets",
     "DepositPlan",
 ]
 
@@ -58,11 +61,14 @@ _CB = _CBH * _CBL  # cells per block
 _K = 512           # particles per window
 
 
-def mxu_supported(n_grid: int) -> bool:
-    """Whether the kernel covers this grid: flat ids must fit int32 and
+def mxu_supported_cells(n_cells: int) -> bool:
+    """Whether the kernel covers a flat id space: ids must fit int32 and
     the cell count must tile into (CBH, CBL) blocks."""
-    n_cells = n_grid**3
     return n_cells % _CB == 0 and n_cells + _CB < 2**31
+
+
+def mxu_supported(n_grid: int) -> bool:
+    return mxu_supported_cells(n_grid**3)
 
 
 class DepositPlan(NamedTuple):
@@ -75,10 +81,10 @@ class DepositPlan(NamedTuple):
     blk: jax.Array    # (G,) i32 block id per grid step
 
 
-def make_deposit_plan(sids: jax.Array, n_grid: int) -> DepositPlan:
+def make_deposit_plan(sids: jax.Array, n_cells: int) -> DepositPlan:
     """Build the (window, block) pair tables for ``sids`` (sorted flat
-    cell ids).  Pure XLA, O(N + n_blocks) work."""
-    n_cells = n_grid**3
+    cell ids over ``n_cells`` cells — any shape's flat id space, cubes
+    and sharded slabs alike).  Pure XLA, O(N + n_blocks) work."""
     nblk = n_cells // _CB
     n = sids.shape[0]
     w = -(-n // _K) + 1          # + one all-sentinel window (pad steps)
@@ -179,19 +185,18 @@ def _kernel(win_ref, blk_ref, ids_ref, vals_ref, *rest, n_chan,
 def deposit_planned(
     plan: DepositPlan,
     svals: jax.Array,
-    n_grid: int,
+    n_cells: int,
     interpret: bool = False,
     carry: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Deposit ``svals`` (N, C) — sorted in the SAME order as the
-    plan's ids — into a CHANNELS-FIRST (C, n, n, n) grid.
+    plan's ids — into a CHANNELS-FIRST (C, n_cells) flat grid.
 
     With ``carry`` (same shape as the output), the kernel ACCUMULATES
     in place: the carry buffer is aliased to the output and each block
     window is seeded from it instead of zeros.  Chains of deposits
     (CIC corners, SPH offsets) then keep exactly ONE grid live instead
     of materializing a grid per call."""
-    n_cells = n_grid**3
     nblk = n_cells // _CB
     svals = svals.astype(jnp.float32)   # kernel math is f32/bf16-split
     n_chan = svals.shape[1]
@@ -242,8 +247,8 @@ def deposit_planned(
         interpret=interpret,
         **kwargs,
     )(*operands)
-    # (C, nblk, CBH, CBL) -> (C, n, n, n): flat id = blk*CB + hi*CBL + lo
-    return out.reshape(n_chan, n_grid, n_grid, n_grid)
+    # (C, nblk, CBH, CBL) -> (C, n_cells): flat id = blk*CB + hi*CBL + lo
+    return out.reshape(n_chan, n_cells)
 
 
 def mxu_deposit_sorted(
@@ -252,9 +257,12 @@ def mxu_deposit_sorted(
     n_grid: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """One-shot wrapper: plan + deposit.  ``sids`` must be sorted."""
-    plan = make_deposit_plan(sids, n_grid)
-    return deposit_planned(plan, svals, n_grid, interpret=interpret)
+    """One-shot cube wrapper: plan + deposit into (C, n, n, n).
+    ``sids`` must be sorted."""
+    n_cells = n_grid**3
+    plan = make_deposit_plan(sids, n_cells)
+    out = deposit_planned(plan, svals, n_cells, interpret=interpret)
+    return out.reshape(out.shape[0], n_grid, n_grid, n_grid)
 
 
 def snake_offsets(axis_vals):
@@ -303,9 +311,9 @@ def deposit_offsets_rolled(
                     acc = jnp.roll(acc, s, axis=1 + ax)
         w = weight_fn(d)
         acc = deposit_planned(
-            plan, svals * w[:, None], n_grid,
+            plan, svals * w[:, None], n_grid**3,
             interpret=interpret, carry=acc,
-        )
+        ).reshape(svals.shape[1], n_grid, n_grid, n_grid)
         prev = d
     for ax, s in enumerate(prev):
         if s:

@@ -115,11 +115,11 @@ def _seed_grids(pos: jax.Array, n_grid: int, box_size: float, n_seeds: int,
                 rank_mask = jnp.concatenate(
                     [jnp.array([False]), rank_mask[:-1] & ~new_seg]
                 )
-        plan = mxu_scatter.make_deposit_plan(ids_s, n_grid)
+        plan = mxu_scatter.make_deposit_plan(ids_s, n_cells)
         grid = mxu_scatter.deposit_planned(
-            plan, jnp.stack(chans, axis=1), n_grid,
+            plan, jnp.stack(chans, axis=1), n_cells,
             interpret=engine == "mxu_interpret",
-        )  # (5 * n_seeds, n, n, n)
+        ).reshape(5 * n_seeds, n_grid, n_grid, n_grid)
         idx_list, pos_list = [], []
         for k in range(n_seeds):
             g = grid[5 * k:5 * k + 5]

@@ -175,7 +175,7 @@ def deposit_cic(
         )
         svals = jnp.stack(cols[:n_chan], axis=1)
         fx, fy, fz = cols[n_chan], cols[n_chan + 1], cols[n_chan + 2]
-        plan = mxu_scatter.make_deposit_plan(sids, n_grid)
+        plan = mxu_scatter.make_deposit_plan(sids, n_grid**3)
 
         def corner_weight(d):
             dx, dy, dz = d

@@ -197,7 +197,7 @@ def _sph_deposit_mxu(
     spos = jnp.stack(res[1 + n_chan:4 + n_chan], axis=1)
     sh = res[4 + n_chan]
     sbase = jnp.floor(spos / cell).astype(jnp.int32)
-    plan = mxu_scatter.make_deposit_plan(sids, n_grid)
+    plan = mxu_scatter.make_deposit_plan(sids, n_grid**3)
 
     def offset_weight(off):
         center = (sbase.astype(dtype) + jnp.asarray(off, dtype) + 0.5) * cell

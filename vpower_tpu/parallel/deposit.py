@@ -49,7 +49,34 @@ def local_block_info(n_grid: int, axis_names: Tuple[str, str] = ("x", "y")):
     return (nlx, nly, n_grid), (rx * nlx, ry * nly, jnp.zeros_like(rx))
 
 
-def _scatter_local(ids, values, n_cells, shape):
+def _scatter_local(ids, values, n_cells, shape, engine="auto"):
+    """Deterministic scatter-add into this device's flat local id
+    space; ids == n_cells marks dropped (out-of-slab) particles.
+
+    On TPU the per-device scatter runs through the MXU deposit kernel
+    (:mod:`vpower_tpu.deposit.mxu_scatter` — it accepts any flat id
+    space, slabs included; the drop id is exactly the plan's sentinel).
+    """
+    from ..deposit import mxu_scatter
+
+    if engine == "auto":
+        engine = ("mxu" if jax.default_backend() == "tpu"
+                  and mxu_scatter.mxu_supported_cells(n_cells) else "xla")
+    if engine in ("mxu", "mxu_interpret"):
+        vals2 = values[:, None] if values.ndim == 1 else values
+        res = jax.lax.sort(
+            (ids,) + tuple(vals2[:, c] for c in range(vals2.shape[1])),
+            num_keys=1,
+        )
+        plan = mxu_scatter.make_deposit_plan(res[0], n_cells)
+        flat = mxu_scatter.deposit_planned(
+            plan, jnp.stack(res[1:], axis=1), n_cells,
+            interpret=engine == "mxu_interpret",
+        )
+        if values.ndim == 2:
+            return flat.reshape((values.shape[1],) + shape)
+        return flat[0].reshape(shape)
+
     grid = jax.ops.segment_sum(values, ids, num_segments=n_cells + 1)[:n_cells]
     if values.ndim == 2:
         # CHANNELS-FIRST output (TPU layout, see core.field)

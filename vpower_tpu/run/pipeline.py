@@ -385,7 +385,7 @@ def _fused_fold_sweep_device(
     use_mxu = (jax.default_backend() == "tpu"
                and mxu_scatter.mxu_supported(n_grid))
     deposit_plan = (
-        mxu_scatter.make_deposit_plan(ids_s, n_grid) if use_mxu else None
+        mxu_scatter.make_deposit_plan(ids_s, n_cells) if use_mxu else None
     )
 
     kmin = 2.0 * jnp.pi / box
@@ -402,8 +402,8 @@ def _fused_fold_sweep_device(
             # scatter-add is the per-beta hot spot).
             g6 = mxu_scatter.deposit_planned(
                 deposit_plan, jnp.concatenate([cosw, sinw], axis=1),
-                n_grid,
-            )
+                n_cells,
+            ).reshape(2 * n_ch, n_grid, n_grid, n_grid)
             grid = jax.lax.complex(g6[:n_ch], g6[n_ch:])
         else:
             g_re = jax.ops.segment_sum(cosw, ids_s, num_segments=n_cells,
