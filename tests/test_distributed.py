@@ -231,3 +231,36 @@ def test_multihost_single_process_noop_and_mesh(mesh):
     s = distributed_spectrum(particles, 8, gm, method="ngp",
                              quantity="momentum")
     assert np.isfinite(s.Psum).all() and s.Nsample.sum() > 0
+
+
+def test_distributed_streamed_sweep_matches_single_chip():
+    """Block-parallel streamed folded sweep over the mesh == the
+    single-chip streamed sweep (same block values, psum-combined)."""
+    import jax.numpy as jnp
+    from vpower_tpu import Particles
+    from vpower_tpu.parallel import make_mesh, distributed_streamed_sweep
+    from vpower_tpu.run.streamed import streamed_folded_sweep
+
+    key = jax.random.PRNGKey(7)
+    kp, kv = jax.random.split(key)
+    n = 3000
+    p = Particles(
+        pos=jax.random.uniform(kp, (n, 3), jnp.float32),
+        mass=jnp.ones((n,), jnp.float32),
+        density=jnp.ones((n,), jnp.float32),
+        vel=jax.random.normal(kv, (n, 3), jnp.float32),
+        box_size=1.0,
+    )
+    mesh = make_mesh(8)
+    for method in ("ngp", "nn"):
+        ref = streamed_folded_sweep(
+            p, 8, 2, quantity="velocity", method=method, beta_batch=8,
+            margin_cells=2)
+        got = distributed_streamed_sweep(
+            p, 8, 2, mesh, quantity="velocity", method=method,
+            beta_batch=8, margin_cells=2)
+        assert len(ref) == len(got) == 8
+        for sr, sg in zip(ref, got):
+            np.testing.assert_allclose(sg.Psum, sr.Psum,
+                                       rtol=2e-4, atol=1e-8)
+            np.testing.assert_array_equal(sg.Nsample, sr.Nsample)

@@ -1,0 +1,183 @@
+"""Block-parallel streamed folded sweep across a device mesh.
+
+Distributes the memory-bounded folded pipeline of
+:func:`vpower_tpu.run.streamed.streamed_folded_sweep` — the reference's
+canonical workload (folded *velocity* spectra from particles,
+``scripts/parallel_optimized.py:337-398``) — over all chips: the m^3
+full-resolution blocks are independent until the fold accumulation, so
+each device deposits/NN-gathers only ``m^3 / n_devices`` blocks and
+phase-accumulates them locally for every beta of the batch; ONE
+``psum`` combines the folded accumulators.  This replaces the
+reference's per-buffer ``allgather`` of query results
+(``parallel_optimized.py:365-368``) with a single reduction of the
+already-folded O(n_grid^3) field.
+
+Work per device is O(m^3 / n_devices) block passes; device memory is
+O(beta_batch * n_grid^3) exactly as on one chip.  Methods: ``nn``
+(exact Voronoi gather), ``ngp``/``cic`` (scatter + divide).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.particles import Particles
+from ..run import streamed as run_streamed
+from ..spectrum.spectrum import PowerSpectrum, SpectrumList, init_beta_space
+
+__all__ = ["distributed_streamed_sweep"]
+
+
+def distributed_streamed_sweep(
+    particles: Particles,
+    n_grid: int,
+    m: int,
+    mesh: Mesh,
+    quantity: str = "velocity",
+    method: str = "nn",
+    beta_sequence: Optional[np.ndarray] = None,
+    beta_batch: int = 4,
+    margin_cells: Optional[int] = None,
+    exact: bool = False,
+) -> SpectrumList:
+    """Folded sub-spectra of a derived field over ``mesh``, block-
+    parallel.  Requires ``m**3 % n_devices == 0`` (whole blocks per
+    device).  Results are identical to the single-chip
+    :func:`~vpower_tpu.run.streamed.streamed_folded_sweep` (same block
+    values, same accumulation order per device batch up to the psum)."""
+    devs = np.asarray(mesh.devices).reshape(-1)
+    ndev = devs.size
+    flat_mesh = Mesh(devs, ("b",))
+    n_blocks = m**3
+    if n_blocks % ndev != 0:
+        raise ValueError(
+            f"m^3 = {n_blocks} blocks must divide over {ndev} devices"
+        )
+    nb_local = n_blocks // ndev
+
+    if beta_sequence is None:
+        beta_sequence = init_beta_space(m)
+    betas_np = np.asarray(beta_sequence, np.int32).reshape(-1, 3)
+    box = float(particles.box_size)
+    n_total = m * n_grid
+    n_ch = 1 if quantity == "energy" else 3
+    kmin = 2.0 * np.pi / box
+    kmax = float(np.pi / (box / n_total))
+    n_bins = int((kmax - kmin) / kmin) + 1
+
+    if method == "nn":
+        if margin_cells is None:
+            margin_cells = max(n_grid // 4, 8)
+        n_ext = n_grid + 2 * margin_cells
+        rounder = 128 if n_ext >= 256 else 8
+        n_ext = int(np.ceil(n_ext / rounder) * rounder)
+        margin_cells = (n_ext - n_grid) // 2
+        if n_ext - n_grid != 2 * margin_cells:
+            n_ext += rounder
+            margin_cells = (n_ext - n_grid) // 2
+        rows, starts, counts, pad, ext_box, _ = \
+            run_streamed._block_candidates(
+                particles, m, n_grid, margin_cells
+            )
+        cell_total = box / n_total
+        ext_box_grid = n_ext * cell_total
+        arrays = (
+            jnp.asarray(rows),
+            jnp.asarray(starts, jnp.int32),
+            jnp.asarray(counts, jnp.int32),
+        )
+
+        def block_values(q, rows_d, starts_d, counts_d):
+            cand = jax.lax.dynamic_slice(
+                rows_d, (starts_d[q], jnp.int32(0)), (pad, 7)
+            )
+            return run_streamed._nn_block_values(
+                cand, counts_d[q], n_grid, n_ext, margin_cells,
+                float(ext_box_grid), float(cell_total), quantity, exact,
+            ).reshape(n_ch, n_grid**3)
+
+    elif method in ("ngp", "cic"):
+        arrays = (particles.pos, particles.vel, particles.mass)
+
+        def block_values(q, pos_d, vel_d, mass_d):
+            qv = jnp.stack(
+                [q // (m * m), (q // m) % m, q % m]
+            ).astype(jnp.int32)
+            return run_streamed._scatter_block_values(
+                pos_d, vel_d, mass_d, qv, n_grid, n_total, box,
+                method, quantity,
+            ).reshape(n_ch, n_grid**3)
+
+    else:
+        raise ValueError(f"Unsupported method {method!r}")
+
+    def make_runner(B):
+        def body(betas, *arrs):
+            d = jax.lax.axis_index("b")
+            betas_f = betas.astype(jnp.float32)
+
+            def scan_body(carry, i):
+                acc_re, acc_im = carry
+                q = d * nb_local + i
+                vals = block_values(q, *arrs)
+                qv = jnp.stack(
+                    [q // (m * m), (q // m) % m, q % m]
+                ).astype(jnp.float32)
+                theta = -2.0 * jnp.pi * (betas_f @ qv) / m
+                norm = 1.0 / m**1.5
+                s_re = jnp.cos(theta) * norm
+                s_im = jnp.sin(theta) * norm
+                return (
+                    acc_re + s_re[:, None, None] * vals[None],
+                    acc_im + s_im[:, None, None] * vals[None],
+                ), None
+
+            zeros = jnp.zeros((B, n_ch, n_grid**3), jnp.float32)
+            (acc_re, acc_im), _ = jax.lax.scan(
+                scan_body, (zeros, zeros),
+                jnp.arange(nb_local, dtype=jnp.int32),
+            )
+            acc_re = jax.lax.psum(acc_re, "b")
+            acc_im = jax.lax.psum(acc_im, "b")
+
+            ks, ps, ns = [], [], []
+            for j in range(B):      # static unroll over the beta batch
+                k, psum, nsamp = run_streamed._finish_beta(
+                    acc_re[j], acc_im[j], betas[j],
+                    n_grid, n_total, box, n_bins,
+                )
+                ks.append(k)
+                ps.append(psum)
+                ns.append(nsamp)
+            return ks[0], jnp.stack(ps), jnp.stack(ns)
+
+        specs = (P(),) * (1 + len(arrays))
+        return jax.jit(shard_map(
+            body, mesh=flat_mesh, in_specs=specs,
+            out_specs=(P(), P(), P()), check_rep=False,
+        ))
+
+    runners = {}
+    spectra = []
+    i = 0
+    while i < len(betas_np):
+        batch = betas_np[i:i + beta_batch]
+        B = len(batch)
+        if B not in runners:
+            runners[B] = make_runner(B)
+        k, psum, nsamp = runners[B](jnp.asarray(batch), *arrays)
+        k_np = np.asarray(k)
+        for j, beta in enumerate(batch):
+            spectra.append(PowerSpectrum.from_binned(
+                k_np, np.asarray(psum[j]), np.asarray(nsamp[j]),
+                m=m, beta=tuple(int(b) for b in beta),
+            ))
+        i += beta_batch
+    return SpectrumList(spectra)
