@@ -50,18 +50,31 @@ def main():
     float(jnp.sum(particles.pos[:, 0]))
 
     timer = StageTimer()
+    warm = StageTimer()
     stages = {}
 
+    # First pass under `warm` includes compile (the reference excluded
+    # FFTW planning via its plan cache, interp.py:41); the `timer` pass
+    # is steady-state.
+    with warm("deposit_cic") as t:
+        field = deposit(particles, n_grid, method="cic")
+        t.observe(field.mass)
     with timer("deposit_cic") as t:
         field = deposit(particles, n_grid, method="cic")
         t.observe(field.mass)
     stages["deposit_cic"] = mem_snapshot()
 
+    with warm("fft_power") as t:
+        p_grid = vector_power(field.velocity, 1.0)
+        t.observe(p_grid)
     with timer("fft_power") as t:
         p_grid = vector_power(field.velocity, 1.0)
         t.observe(p_grid)
     stages["fft_power"] = mem_snapshot()
 
+    with warm("shell_bin") as t:
+        k, psum, nsamp = shell_bin(p_grid, 1.0)
+        t.observe(psum)
     with timer("shell_bin") as t:
         k, psum, nsamp = shell_bin(p_grid, 1.0)
         t.observe(psum)
@@ -83,6 +96,8 @@ def main():
         "n_grid": n_grid,
         "n_particles": int(len(particles)),
         "stage_seconds": {k: round(timer.total(k), 3) for k in timer.spans},
+        "first_call_seconds_incl_compile":
+            {k: round(warm.total(k), 3) for k in warm.spans},
         "stage_memory": stages,
         "fft_paths_allclose": agree,
         "platform": jax.default_backend(),
