@@ -39,9 +39,14 @@ def main():
     n_lattice = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
     from vpower_tpu import deposit, synthetic_particles
-    from vpower_tpu.spectrum.power import (
-        shell_bin, vector_power, vector_power_from_complex,
-    )
+    from vpower_tpu.spectrum import power as _power
+
+    # jit the stage entry points (box static: bin lattice derives from
+    # it at trace time); the library leaves jitting to callers
+    shell_bin = jax.jit(lambda p: _power.shell_bin(p, 1.0))
+    vector_power = jax.jit(lambda v: _power.vector_power(v, 1.0))
+    vector_power_from_complex = jax.jit(
+        lambda v: _power.vector_power_from_complex(v, 1.0))
     from vpower_tpu.utils.profiling import StageTimer
 
     particles = synthetic_particles(
@@ -65,18 +70,18 @@ def main():
     stages["deposit_cic"] = mem_snapshot()
 
     with warm("fft_power") as t:
-        p_grid = vector_power(field.velocity, 1.0)
+        p_grid = vector_power(field.velocity)
         t.observe(p_grid)
     with timer("fft_power") as t:
-        p_grid = vector_power(field.velocity, 1.0)
+        p_grid = vector_power(field.velocity)
         t.observe(p_grid)
     stages["fft_power"] = mem_snapshot()
 
     with warm("shell_bin") as t:
-        k, psum, nsamp = shell_bin(p_grid, 1.0)
+        k, psum, nsamp = shell_bin(p_grid)
         t.observe(psum)
     with timer("shell_bin") as t:
-        k, psum, nsamp = shell_bin(p_grid, 1.0)
+        k, psum, nsamp = shell_bin(p_grid)
         t.observe(psum)
     stages["shell_bin"] = mem_snapshot()
 
@@ -84,7 +89,7 @@ def main():
     # preplanned-vs-numpy-interface allclose check).
     with timer("fft_power_complex") as t:
         p2 = vector_power_from_complex(
-            field.velocity.astype(jnp.complex64), 1.0
+            field.velocity.astype(jnp.complex64)
         )
         t.observe(p2)
     agree = bool(
