@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Total box length.")
     p.add_argument("-f", action="store_true",
                    help="Skip confirmation and start the computation.")
+    p.add_argument("--compile-cache", type=str,
+                   default="~/.cache/vpower_tpu/xla",
+                   help="Persistent XLA compilation cache directory "
+                   "('' disables); a warm cache removes the multi-"
+                   "minute first-compile of a cold run.")
     p.add_argument("--method", type=str, default="ngp",
                    choices=["ngp", "cic", "nn", "sph"],
                    help="Deposition method (nn/sph are single-chip).")
@@ -127,6 +132,17 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.compile_cache:
+        # Persistent XLA compilation cache: the fused-fold sweep's first
+        # compile dominates a cold run (~7 min at 512^3 on v5e vs 0.8 s
+        # per beta after); re-runs with the same plan skip it — the
+        # analog of the reference persisting its Annoy index and FFTW
+        # plan cache (parallel_optimized.py:297-313, interp.py:41).
+        cache_dir = os.path.expanduser(args.compile_cache)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from ..io.snapshot import load_snapshot
     from ..parallel import make_mesh, plan_run
