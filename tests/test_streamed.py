@@ -165,3 +165,69 @@ def test_margin_too_large_raises():
 
     with pytest.raises(ValueError, match="margin"):
         _block_candidates(particles, 2, 4, margin_cells=5)
+
+
+def test_streamed_sph_matches_direct_sph():
+    """Streamed SPH blocks at m=2 reassemble the direct full-grid SPH
+    deposition exactly (same weights, block-partitioned targets)."""
+    import jax
+    import jax.numpy as jnp
+    from vpower_tpu import Particles
+    from vpower_tpu.deposit.sph import sph_deposit
+    from vpower_tpu.run.streamed import _scatter_block_values
+
+    key = jax.random.PRNGKey(3)
+    kp, kv = jax.random.split(key)
+    n, n_grid, m = 2000, 8, 2
+    n_total = m * n_grid
+    p = Particles(
+        pos=jax.random.uniform(kp, (n, 3), jnp.float32),
+        mass=jnp.ones((n,), jnp.float32),
+        density=jnp.ones((n,), jnp.float32),
+        vel=jax.random.normal(kv, (n, 3), jnp.float32),
+        box_size=1.0,
+    )
+    h = p.smoothing_length()
+    vals = jnp.concatenate([p.vel * p.mass[:, None], p.mass[:, None]], 1)
+    full = np.asarray(sph_deposit(
+        p.pos, vals, h, n_total, 1.0, s_max=1, engine="xla"))
+    mv_full, mg_full = full[:3], full[3]
+    safe = np.where(mg_full > 0, mg_full, 1.0)
+    v_full = np.where(mg_full[None] > 0, mv_full / safe[None], 0.0)
+
+    got = np.zeros((3, n_total, n_total, n_total), np.float32)
+    for qx in range(m):
+        for qy in range(m):
+            for qz in range(m):
+                blk = _scatter_block_values(
+                    p.pos, p.vel, p.mass,
+                    jnp.asarray([qx, qy, qz], jnp.int32),
+                    n_grid, n_total, 1.0, "sph", "velocity", h=h,
+                ).reshape(3, n_grid, n_grid, n_grid)
+                got[:, qx*n_grid:(qx+1)*n_grid,
+                    qy*n_grid:(qy+1)*n_grid,
+                    qz*n_grid:(qz+1)*n_grid] = np.asarray(blk)
+    np.testing.assert_allclose(got, v_full, rtol=2e-4, atol=1e-6)
+
+
+def test_streamed_folded_sweep_sph_runs():
+    import jax
+    import jax.numpy as jnp
+    from vpower_tpu import Particles
+    from vpower_tpu.run.streamed import streamed_folded_sweep
+
+    key = jax.random.PRNGKey(4)
+    kp, kv = jax.random.split(key)
+    n = 1500
+    p = Particles(
+        pos=jax.random.uniform(kp, (n, 3), jnp.float32),
+        mass=jnp.ones((n,), jnp.float32),
+        density=jnp.ones((n,), jnp.float32),
+        vel=jax.random.normal(kv, (n, 3), jnp.float32),
+        box_size=1.0,
+    )
+    subs = streamed_folded_sweep(p, 8, 2, quantity="velocity",
+                                 method="sph", beta_batch=8)
+    assert len(subs) == 8
+    comb = subs.combine_all()
+    assert np.isfinite(comb.Psum).all() and comb.Nsample.sum() > 0

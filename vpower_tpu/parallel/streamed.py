@@ -103,16 +103,18 @@ def distributed_streamed_sweep(
                 float(ext_box_grid), float(cell_total), quantity, exact,
             ).reshape(n_ch, n_grid**3)
 
-    elif method in ("ngp", "cic"):
+    elif method in ("ngp", "cic", "sph"):
         arrays = (particles.pos, particles.vel, particles.mass)
+        if method == "sph":
+            arrays = arrays + (particles.smoothing_length(),)
 
-        def block_values(q, pos_d, vel_d, mass_d):
+        def block_values(q, pos_d, vel_d, mass_d, *h_d):
             qv = jnp.stack(
                 [q // (m * m), (q // m) % m, q % m]
             ).astype(jnp.int32)
             return run_streamed._scatter_block_values(
                 pos_d, vel_d, mass_d, qv, n_grid, n_total, box,
-                method, quantity,
+                method, quantity, h=h_d[0] if h_d else None,
             ).reshape(n_ch, n_grid**3)
 
     else:

@@ -176,16 +176,8 @@ def main(argv=None) -> int:
     # confirmed (round-1 failure mode: a folded nn run materialized the
     # full NTOT^3 grid after the plan advertised O(n_grid^3) memory).
     streamed = plan.fold_m > 1 and (
-        args.method == "nn" or args.quantity != "momentum"
+        args.method in ("nn", "sph") or args.quantity != "momentum"
     )
-    if plan.fold_m > 1 and args.method == "sph":
-        print(
-            "Folded runs support methods ngp/cic (fused) and nn "
-            "(streamed); sph folding is not implemented. Use -M to fit "
-            "the full grid, or --method nn.",
-            flush=True,
-        )
-        return 1
     _log(plan.describe())
     if streamed:
         _log(

@@ -199,7 +199,8 @@ def _nn_block_values(
 
 @partial(
     jax.jit,
-    static_argnames=("n_grid", "n_total", "box", "method", "quantity"),
+    static_argnames=("n_grid", "n_total", "box", "method", "quantity",
+                     "s_max"),
 )
 def _scatter_block_values(
     pos: jax.Array,
@@ -211,10 +212,16 @@ def _scatter_block_values(
     box: float,
     method: str,
     quantity: str,
+    h: jax.Array = None,
+    s_max: int = 1,
 ) -> jax.Array:
     """(C, n_grid^3) full-res field values of one block by scatter
-    deposition + division — the NGP/CIC analog of the NN gather (same
-    block semantics; full-res cells partition exactly across blocks)."""
+    deposition + division — the NGP/CIC/SPH analog of the NN gather
+    (same block semantics; full-res cells partition exactly across
+    blocks).  SPH weights are normalized over the particle's FULL
+    footprint (identical in every block), so contributions straddling
+    block boundaries land in whichever block owns the target cell and
+    global conservation is exact."""
     cell = box / n_total
     n_cells = n_grid**3
     values = jnp.concatenate(
@@ -223,6 +230,39 @@ def _scatter_block_values(
 
     if method == "ngp":
         corners = [(jnp.floor(pos / cell).astype(jnp.int32) % n_total, None)]
+    elif method == "sph":
+        from ..deposit.sph import kernel_weight
+
+        h_eff = jnp.clip(h, 1e-6 * cell, (s_max + 0.5) * cell)
+        base = jnp.floor(pos / cell).astype(jnp.int32)
+
+        def offset_weight(d):
+            center = (base.astype(pos.dtype)
+                      + jnp.asarray(d, pos.dtype) + 0.5) * cell
+            delta = pos - center
+            delta = delta - box * jnp.round(delta / box)
+            r = jnp.sqrt(jnp.sum(delta * delta, axis=1))
+            return kernel_weight(r / h_eff, "cubic_spline")
+
+        offs = [(dx, dy, dz)
+                for dx in range(-s_max, s_max + 1)
+                for dy in range(-s_max, s_max + 1)
+                for dz in range(-s_max, s_max + 1)]
+        wsum = jnp.zeros(pos.shape[0], pos.dtype)
+        for d in offs:
+            wsum = wsum + offset_weight(d)
+        degenerate = wsum <= 0.0
+        wsum = jnp.where(degenerate, 1.0, wsum)
+        corners = []
+        for d in offs:
+            w = offset_weight(d) / wsum
+            w = jnp.where(
+                degenerate,
+                jnp.asarray(1.0 if d == (0, 0, 0) else 0.0, pos.dtype),
+                w,
+            )
+            idx = (base + jnp.asarray(d, jnp.int32)[None, :]) % n_total
+            corners.append((idx, w))
     elif method == "cic":
         u = pos / cell - 0.5
         base = jnp.floor(u).astype(jnp.int32)
@@ -406,10 +446,11 @@ def streamed_folded_sweep(
                 float(ext_box_grid), float(cell_total), quantity, exact,
             ).reshape(n_ch, n_grid**3)
 
-    elif method in ("ngp", "cic"):
+    elif method in ("ngp", "cic", "sph"):
         pos_d = particles.pos
         vel_d = particles.vel
         mass_d = particles.mass
+        h_d = particles.smoothing_length() if method == "sph" else None
 
         def block_values(q: int) -> jax.Array:
             qv = jnp.asarray(
@@ -417,12 +458,12 @@ def streamed_folded_sweep(
             )
             return _scatter_block_values(
                 pos_d, vel_d, mass_d, qv, n_grid, n_total, box,
-                method, quantity,
+                method, quantity, h=h_d,
             ).reshape(n_ch, n_grid**3)
 
     else:
         raise ValueError(
-            f"streamed folded spectra support methods nn/ngp/cic, "
+            f"streamed folded spectra support methods nn/ngp/cic/sph, "
             f"got {method!r}"
         )
 
