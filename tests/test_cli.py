@@ -125,9 +125,13 @@ def test_cli_streamed_folded_nn(tmp_path, snapshot):
     assert pk[:, 3].sum() > 0
 
 
-def test_cli_folded_sph_rejected_before_plan(tmp_path, snapshot):
+def test_cli_folded_sph_streams(tmp_path, snapshot):
+    """Folded sph runs through the block-streamed pipeline (round-1
+    rejected it; the streamed scatter now supports sph footprints)."""
     out = str(tmp_path / "outsph")
     os.makedirs(out)
     rc = main(["-i", snapshot, "-o", out, "-N", "32", "-M", "16", "-f",
-               "--method", "sph"])
-    assert rc == 1
+               "--method", "sph", "--quantity", "velocity"])
+    assert rc == 0
+    pk = np.loadtxt(os.path.join(out, "Pk.txt"))
+    assert np.isfinite(pk).all() and pk.shape[1] == 4
