@@ -375,10 +375,18 @@ def _fused_fold_sweep_device(
     ids, vals, idx_full = fold_mod.fold_scatter_targets(
         particles.pos, values, m, box, n_grid, method=method
     )
-    order = jnp.argsort(ids)
-    ids_s = ids[order]
-    values_s = vals[order]
-    qidx_s = idx_full[order].astype(jnp.float32)
+    # one joint sort with payload columns (argsort + per-array gathers
+    # ran the 80M-row gathers twice over at m=4/cic)
+    n_vc = vals.shape[1]
+    res = jax.lax.sort(
+        (ids,)
+        + tuple(vals[:, c] for c in range(n_vc))
+        + tuple(idx_full[:, c].astype(jnp.float32) for c in range(3)),
+        num_keys=1,
+    )
+    ids_s = res[0]
+    values_s = jnp.stack(res[1:1 + n_vc], axis=1)
+    qidx_s = jnp.stack(res[1 + n_vc:4 + n_vc], axis=1)
 
     # The deposit plan depends only on the sorted ids: hoisted out of
     # the beta scan alongside the sort (one plan serves every beta).
