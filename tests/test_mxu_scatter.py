@@ -62,7 +62,7 @@ def test_block_boundary_cells():
     edges — the in-kernel range mask must split them correctly."""
     rng = np.random.default_rng(2)
     n_grid = 32
-    cb = mxu_scatter._CB
+    cb = mxu_scatter._choose_cbh(n_grid**3) * mxu_scatter._CBL
     edges = np.concatenate([
         np.arange(cb - 5, cb + 5),
         np.arange(2 * cb - 3, 2 * cb + 3),
@@ -193,3 +193,24 @@ def test_scatter_local_slab_parity():
         jnp.asarray(ids, jnp.int32), jnp.asarray(vals, jnp.float32),
         n_cells, shape, engine="mxu_interpret"))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_adaptive_block_width_large_id_space():
+    """1024^3-scale flat id spaces widen blocks so the pair tables fit
+    SMEM (round-2 regression: SMEM overflow at n_cells = 2^30)."""
+    assert mxu_scatter._choose_cbh(512**3) == 64
+    assert mxu_scatter._choose_cbh(1024**3) == 128
+    assert mxu_scatter.mxu_supported(1024)
+    # parity at a wide-block size (n_cells small enough to force cbh
+    # via a divisibility gap is hard; exercise 128 directly)
+    rng = np.random.default_rng(11)
+    n_cells = 128 * 128 * 1024       # chooses cbh=64; still verify path
+    sids = np.sort(rng.integers(0, n_cells, 3000)).astype(np.int32)
+    svals = rng.normal(size=(3000, 2)).astype(np.float32)
+    plan = mxu_scatter.make_deposit_plan(jnp.asarray(sids), n_cells)
+    flat = np.asarray(mxu_scatter.deposit_planned(
+        plan, jnp.asarray(svals), n_cells, interpret=True))
+    ref = np.asarray(jax.ops.segment_sum(
+        jnp.asarray(svals), jnp.asarray(sids), num_segments=n_cells,
+        indices_are_sorted=True)).T
+    np.testing.assert_allclose(flat, ref, atol=1e-5)

@@ -55,16 +55,29 @@ __all__ = [
     "DepositPlan",
 ]
 
-_CBH = 64          # hi one-hot width (sublane dim of the output tile)
 _CBL = 128         # lo one-hot width (lane dim)
-_CB = _CBH * _CBL  # cells per block
 _K = 512           # particles per window
+# SMEM holds the two scalar-prefetch pair tables (win, blk — 4 B each
+# per grid step) and is ~1 MB: keep G_max = n_windows + n_blocks under
+# this budget by widening blocks for large id spaces.
+_G_BUDGET = 80_000
+
+
+def _choose_cbh(n_cells: int):
+    """Smallest hi-width in {64,128,256,512} whose block count keeps
+    the pair tables inside SMEM; None if none tiles ``n_cells``."""
+    for cbh in (64, 128, 256, 512):
+        cb = cbh * _CBL
+        if n_cells % cb == 0 and n_cells // cb <= _G_BUDGET:
+            return cbh
+    return None
 
 
 def mxu_supported_cells(n_cells: int) -> bool:
     """Whether the kernel covers a flat id space: ids must fit int32 and
-    the cell count must tile into (CBH, CBL) blocks."""
-    return n_cells % _CB == 0 and n_cells + _CB < 2**31
+    the cell count must tile into (CBH, CBL) blocks with SMEM-sized
+    pair tables."""
+    return _choose_cbh(n_cells) is not None and n_cells + 2**16 < 2**31
 
 
 def mxu_supported(n_grid: int) -> bool:
@@ -85,14 +98,16 @@ def make_deposit_plan(sids: jax.Array, n_cells: int) -> DepositPlan:
     """Build the (window, block) pair tables for ``sids`` (sorted flat
     cell ids over ``n_cells`` cells — any shape's flat id space, cubes
     and sharded slabs alike).  Pure XLA, O(N + n_blocks) work."""
-    nblk = n_cells // _CB
+    cbh = _choose_cbh(n_cells)
+    cb = cbh * _CBL
+    nblk = n_cells // cb
     n = sids.shape[0]
     w = -(-n // _K) + 1          # + one all-sentinel window (pad steps)
     pad = w * _K - n
     ids2 = jnp.pad(sids, (0, pad), constant_values=n_cells).reshape(w, 1, _K)
 
-    fb = jnp.minimum(ids2[:, 0, 0] // _CB, nblk - 1)
-    lb = jnp.minimum(ids2[:, 0, -1] // _CB, nblk - 1)
+    fb = jnp.minimum(ids2[:, 0, 0] // cb, nblk - 1)
+    lb = jnp.minimum(ids2[:, 0, -1] // cb, nblk - 1)
     lb = lb.at[-1].set(nblk - 1)          # cover trailing blocks
     start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.minimum(fb[1:], lb[:-1] + 1)]
@@ -119,7 +134,7 @@ def make_deposit_plan(sids: jax.Array, n_cells: int) -> DepositPlan:
 
 
 def _kernel(win_ref, blk_ref, ids_ref, vals_ref, *rest, n_chan,
-            accumulate):
+            accumulate, cbh):
     if accumulate:
         carry_ref, out_ref = rest
     else:
@@ -130,15 +145,16 @@ def _kernel(win_ref, blk_ref, ids_ref, vals_ref, *rest, n_chan,
         g == 0, b != blk_ref[jnp.maximum(g - 1, 0)]
     )
 
+    cb = cbh * _CBL
     ids = ids_ref[0]                           # (1, K) i32
-    local = ids - b * _CB
-    valid = (local >= 0) & (local < _CB)       # masks window/block edges
+    local = ids - b * cb
+    valid = (local >= 0) & (local < cb)        # masks window/block edges
     localc = jnp.where(valid, local, 0)
     hi = localc // _CBL                        # (1, K)
     lo = localc - hi * _CBL
 
     hi_mask = (
-        jax.lax.broadcasted_iota(jnp.int32, (_CBH, _K), 0) == hi
+        jax.lax.broadcasted_iota(jnp.int32, (cbh, _K), 0) == hi
     )                                          # (CBH, K) bool
     lo_col = lo.reshape(_K, 1)
     valid_col = jnp.where(valid, 1, 0).reshape(_K, 1)
@@ -197,7 +213,8 @@ def deposit_planned(
     window is seeded from it instead of zeros.  Chains of deposits
     (CIC corners, SPH offsets) then keep exactly ONE grid live instead
     of materializing a grid per call."""
-    nblk = n_cells // _CB
+    cbh = _choose_cbh(n_cells)
+    nblk = n_cells // (cbh * _CBL)
     svals = svals.astype(jnp.float32)   # kernel math is f32/bf16-split
     n_chan = svals.shape[1]
     w = plan.ids2.shape[0]
@@ -206,7 +223,7 @@ def deposit_planned(
     g_max = int(plan.win.shape[0])
     accumulate = carry is not None
 
-    out_spec = pl.BlockSpec((n_chan, 1, _CBH, _CBL),
+    out_spec = pl.BlockSpec((n_chan, 1, cbh, _CBL),
                             lambda g, win, blk: (0, blk[g], 0, 0))
     in_specs = [
         pl.BlockSpec((1, 1, _K), lambda g, win, blk: (win[g], 0, 0)),
@@ -218,7 +235,7 @@ def deposit_planned(
     if accumulate:
         in_specs.append(out_spec)
         operands.append(
-            carry.astype(jnp.float32).reshape(n_chan, nblk, _CBH, _CBL)
+            carry.astype(jnp.float32).reshape(n_chan, nblk, cbh, _CBL)
         )
         # operand index counts the scalar-prefetch args (win, blk)
         kwargs["input_output_aliases"] = {4: 0}
@@ -230,16 +247,16 @@ def deposit_planned(
         out_specs=out_spec,
     )
     out = pl.pallas_call(
-        partial(_kernel, n_chan=n_chan, accumulate=accumulate),
+        partial(_kernel, n_chan=n_chan, accumulate=accumulate, cbh=cbh),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_chan, nblk, _CBH, _CBL), jnp.float32
+            (n_chan, nblk, cbh, _CBL), jnp.float32
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 3 * g_max * n_chan * _CBH * _CBL * _K,
+            flops=2 * 3 * g_max * n_chan * cbh * _CBL * _K,
             bytes_accessed=n_cells * n_chan * 4
             + g_max * _K * (n_chan + 1) * 4,
             transcendentals=0,

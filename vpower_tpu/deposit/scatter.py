@@ -56,7 +56,7 @@ def resolve_engine(engine: str, n_grid: int) -> str:
             n_grid):
         raise ValueError(
             f"mxu deposit engine cannot tile n_grid={n_grid} "
-            f"(n_grid^3 must divide by {mxu_scatter._CB})"
+            f"(n_grid^3 must divide a {mxu_scatter._CBL}-lane block)"
         )
     return engine
 
