@@ -1,0 +1,253 @@
+"""Value-carry NN descent (`nn_gather_grid`) against the index path.
+
+The value-carry pipeline must produce exactly the field that gathering
+``vals[nn_assign(...)]`` would — same seeds, same sweeps, payload rides
+as channels.  Ties between equidistant particles are measure-zero with
+random float32 positions, so strict equality of the gathered values is
+the right check.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vpower_tpu.deposit.nn import nn_assign, nn_gather_grid
+
+
+def _ref_gather(pos, vals, n_grid, box, periodic=True, valid=None):
+    """(payload grid, uniform occ scalar) from the index path."""
+    idx = np.asarray(
+        nn_assign(pos, n_grid, box, periodic=periodic, valid=valid)
+    )
+    ok = idx >= 0
+    g = np.where(
+        ok[None], np.asarray(vals).T[:, np.where(ok, idx, 0)], 0.0
+    )
+    assert ok.all() or not ok.any()  # occupancy is spatially uniform
+    return g, 1.0 if ok.all() else 0.0
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.parametrize("n_grid", [16, 32])
+def test_matches_index_path(rng, n_grid, periodic):
+    n_p = 4000
+    box = 1.0
+    pos = jnp.asarray(rng.random((n_p, 3), np.float32) * box)
+    vals = jnp.asarray(rng.standard_normal((n_p, 4)).astype(np.float32))
+    g, occ = nn_gather_grid(pos, vals, n_grid, box, periodic=periodic)
+    ref, ref_occ = _ref_gather(pos, vals, n_grid, box, periodic=periodic)
+    assert float(occ) == ref_occ
+    np.testing.assert_array_equal(np.asarray(g), ref)
+
+
+def test_clustered_stress(rng):
+    """Adversarial clustering: most particles in a few cells + voids."""
+    box = 1.0
+    n_grid = 16
+    centers = rng.random((5, 3)) * box
+    pos = np.concatenate([
+        (centers[i] + 0.01 * rng.standard_normal((600, 3))) % box
+        for i in range(5)
+    ] + [rng.random((50, 3)) * box]).astype(np.float32)
+    vals = rng.standard_normal((len(pos), 4)).astype(np.float32)
+    g, occ = nn_gather_grid(jnp.asarray(pos), jnp.asarray(vals),
+                            n_grid, box)
+    ref, ref_occ = _ref_gather(jnp.asarray(pos), jnp.asarray(vals),
+                               n_grid, box)
+    assert float(occ) == ref_occ
+    np.testing.assert_array_equal(np.asarray(g), ref)
+
+
+def test_valid_masking(rng):
+    """Padding rows excluded via ``valid`` must never win; all-padding
+    gives occ == 0 everywhere it is unreachable."""
+    box = 1.0
+    n_grid = 16
+    n_real, n_pad = 500, 300
+    pos = np.empty((n_real + n_pad, 3), np.float32)
+    pos[:n_real] = rng.random((n_real, 3)) * box
+    pos[n_real:] = 0.123  # padding rows stacked in one cell
+    vals = rng.standard_normal((len(pos), 3)).astype(np.float32)
+    valid = jnp.arange(len(pos)) < n_real
+    g, occ = nn_gather_grid(
+        jnp.asarray(pos), jnp.asarray(vals), n_grid, box, valid=valid
+    )
+    ref, ref_occ = _ref_gather(jnp.asarray(pos), jnp.asarray(vals),
+                               n_grid, box, valid=valid)
+    np.testing.assert_array_equal(np.asarray(g), ref)
+    assert float(occ) == ref_occ == 1.0
+
+
+def test_empty_region_occ(rng):
+    """Sparse set in a corner, open-box metric: occupancy still 1
+    (nearest exists for every cell); values finite."""
+    box = 1.0
+    n_grid = 16
+    pos = (0.05 * rng.random((20, 3))).astype(np.float32)
+    vals = rng.standard_normal((20, 2)).astype(np.float32)
+    g, occ = nn_gather_grid(jnp.asarray(pos), jnp.asarray(vals),
+                            n_grid, box, periodic=False)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert float(occ) == 1.0
+    ref, _ = _ref_gather(jnp.asarray(pos), jnp.asarray(vals), n_grid, box,
+                         periodic=False)
+    np.testing.assert_array_equal(g, ref)
+
+
+def test_interp_to_field_matches_gather(rng):
+    """nn_interp_to_field fast mode == manual idx-gather construction."""
+    from vpower_tpu.core.particles import Particles
+    from vpower_tpu.deposit.nn import nn_interp_to_field
+
+    box = 1.0
+    n_grid = 16
+    n_p = 3000
+    particles = Particles(
+        pos=jnp.asarray(rng.random((n_p, 3), np.float32)),
+        mass=jnp.asarray(rng.random(n_p).astype(np.float32) + 0.5),
+        density=jnp.asarray(rng.random(n_p).astype(np.float32) + 0.5),
+        vel=jnp.asarray(rng.standard_normal((n_p, 3)).astype(np.float32)),
+        box_size=box,
+    )
+    field = nn_interp_to_field(particles, n_grid)
+    idx = np.asarray(nn_assign(particles.pos, n_grid, box))
+    vel = np.asarray(particles.vel)
+    rho = np.asarray(particles.density)
+    cell = box / n_grid
+    np.testing.assert_allclose(
+        np.asarray(field.velocity),
+        np.stack([vel[idx, c] for c in range(3)]),
+        rtol=0, atol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(field.mass), rho[idx] * cell**3, rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_vals_kernel_matches_reference(rng, periodic):
+    """One value-carry kernel pass (interpret mode) == direct numpy
+    evaluation of the same stride-2+1 candidate compare set."""
+    from vpower_tpu.deposit import nn as nnmod
+    from vpower_tpu.deposit.nn_pallas import sweep_tiles_vals
+
+    n, k, box, n_v = 16, 2, 1.0, 3
+    pos = jnp.asarray(rng.random((500, 3), np.float32))
+    vals = jnp.asarray(rng.standard_normal((500, n_v)).astype(np.float32))
+
+    sc = nnmod._seed_grids_vals(pos % box, vals, n, box, k)
+    n_ch = sc.shape[1]
+    state0 = sc[0]
+
+    out = np.asarray(sweep_tiles_vals(
+        state0, sc.reshape(k * n_ch, n, n, n), box,
+        periodic=periodic, tile=8, interpret=True,
+    ))
+
+    scn = np.asarray(sc)
+    cell = box / n
+    axis = (np.arange(n) + 0.5) * cell
+    cx, cy, cz = np.meshgrid(axis, axis, axis, indexing="ij")
+    centers = np.stack([cx, cy, cz], axis=0)
+
+    def d2_of(posfield):
+        d = centers - posfield
+        if periodic:
+            d = d - box * np.round(d / box)
+        return np.sum(d * d, axis=0)
+
+    best = scn[0].copy()
+    best_d = np.where(best[-1] > 0.5, d2_of(best[:3]), 3.0e38)
+    for s in (2, 1):
+        for dx in (-s, 0, s):
+            for dy in (-s, 0, s):
+                for dz in (-s, 0, s):
+                    fields = range(k) if (dx, dy, dz) == (0, 0, 0) \
+                        else [-1] + list(range(k))
+                    for f in fields:
+                        fc = scn[0] if f < 0 else scn[f]
+                        cc = np.roll(fc, (dx, dy, dz), axis=(1, 2, 3))
+                        cd = np.where(cc[-1] > 0.5, d2_of(cc[:3]), 3.0e38)
+                        take = cd < best_d
+                        best = np.where(take[None], cc, best)
+                        best_d = np.where(take, cd, best_d)
+
+    np.testing.assert_allclose(out, best, rtol=1e-5, atol=1e-6)
+
+
+def test_gather_grid_pallas_path_matches_fallback(rng):
+    """nn_gather_grid through the (interpreted) Pallas value kernel vs
+    the XLA fallback — assignment-quality comparison at a 128-divisible
+    grid so the kernel branch actually runs."""
+    from vpower_tpu.deposit import nn as nnmod
+    from vpower_tpu.deposit import nn_pallas as kp
+
+    pos = jnp.asarray(rng.random((1500, 3), np.float32))
+    vals = jnp.asarray(rng.standard_normal((1500, 2)).astype(np.float32))
+    a = np.asarray(nnmod.nn_gather_grid(pos, vals, 128, 1.0,
+                                        use_pallas=False)[0])
+    orig = kp.sweep_tiles_vals
+    kp.sweep_tiles_vals = lambda *args, **kw: orig(
+        *args, **{**kw, "interpret": True}
+    )
+    try:
+        b = np.asarray(nnmod.nn_gather_grid(pos, vals, 128, 1.0,
+                                            use_pallas=True)[0])
+    finally:
+        kp.sweep_tiles_vals = orig
+    # the two sweeps differ in chaining; near-identical assignments
+    frac_diff = np.mean(np.any(a != b, axis=0))
+    assert frac_diff < 2e-3, f"pallas vals path diverges: {frac_diff}"
+
+
+def test_premerge_mode_accuracy(rng):
+    """Pre-merged state-only sweep (the memory-bound big-grid mode,
+    forced on at a small grid): assignments against brute force —
+    misassignments must be rare and sub-cell-bounded."""
+    from vpower_tpu.deposit import nn as nnmod
+
+    box = 1.0
+    n_grid = 48
+    n_p = 2000  # occupancy ~0.02/cell, the regime the mode targets
+    pos = jnp.asarray(rng.random((n_p, 3), np.float32))
+    vals = jnp.asarray(rng.standard_normal((n_p, 1)).astype(np.float32))
+
+    orig = nnmod._PREMERGE_MIN
+    nnmod._PREMERGE_MIN = 32
+    try:
+        g, occ = nnmod.nn_gather_grid(pos, vals, n_grid, box)
+        g = np.asarray(g)
+    finally:
+        nnmod._PREMERGE_MIN = orig
+    assert float(occ) == 1.0
+
+    bf = np.asarray(nnmod.nn_brute_force(pos, n_grid, box))
+    vn = np.asarray(vals)[:, 0]
+    exact_vals = vn[bf]
+    wrong = g[0] != exact_vals
+    frac = wrong.mean()
+    assert frac < 2e-2, f"premerge misassignment rate {frac}"
+
+    # every misassigned cell's chosen particle is still within ~a cell
+    # diagonal of the true nearest distance
+    if wrong.any():
+        cell = box / n_grid
+        axis = (np.arange(n_grid) + 0.5) * cell
+        cx, cy, cz = np.meshgrid(axis, axis, axis, indexing="ij")
+        centers = np.stack([cx, cy, cz], axis=-1)[wrong]
+        p = np.asarray(pos)
+        d_true = p[bf[wrong]] - centers
+        d_true -= np.round(d_true)
+        d_true = np.sqrt((d_true**2).sum(-1))
+        # chosen particle's position rode along in channels 0..2 of the
+        # internal state; recover distance via matching value
+        chosen_d = []
+        for c, v in zip(centers, g[0][wrong]):
+            cands = np.flatnonzero(vn == v)
+            dd = p[cands] - c
+            dd -= np.round(dd)
+            chosen_d.append(np.sqrt((dd**2).sum(-1)).min())
+        excess = np.asarray(chosen_d) - d_true
+        assert excess.max() < np.sqrt(3.0) * cell

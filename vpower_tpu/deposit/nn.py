@@ -58,7 +58,9 @@ from ..core.field import BoxField
 from ..core.particles import Particles
 from . import mxu_scatter
 
-__all__ = ["nn_assign", "nn_brute_force", "nn_interp_to_field"]
+__all__ = [
+    "nn_assign", "nn_brute_force", "nn_gather_grid", "nn_interp_to_field",
+]
 
 _COARSEST = 8  # grid size solved by dense all-pairs distance
 
@@ -370,6 +372,386 @@ def _upsample(state):
 
 
 # ---------------------------------------------------------------------- #
+# value-carry pipeline                                                   #
+# ---------------------------------------------------------------------- #
+# The descent above answers "WHICH particle is nearest" (int32 indices),
+# which forces a final O(N^3)-row ``vec[idx]`` gather to turn the answer
+# into field values — 1.7 s of the 3.95 s 512^3 headline at XLA's ~80 M
+# gather-rows/s, independent of row width.  The variants below instead
+# carry the particle's PAYLOAD (e.g. [vx, vy, vz, rho]) through every
+# stage as extra f32 channels, so the descent's output IS the field and
+# no gather ever happens.  Channel convention everywhere:
+#   [x, y, z, payload_0..payload_{V-1}, occ]  — C = V + 4 channels,
+# with occ = 1.0 marking a real candidate (replaces the idx >= 0 test;
+# positions cannot encode validity because the periodic minimum-image
+# metric wraps any sentinel back into the box).
+
+
+def _seed_grids_vals(pos: jax.Array, vals: jax.Array, n_grid: int,
+                     box_size: float, n_seeds: int, valid=None,
+                     engine: str = "auto"):
+    """Rank-k nearest-to-center seeds carrying payload channels.
+
+    Returns ``(k, C, n, n, n)`` with C = vals.shape[1] + 4; empty cells
+    are all-zero (occ = 0).  Same one-MXU-deposit trick as
+    :func:`_seed_grids`, minus the index encode/decode channels.
+    """
+    from .scatter import resolve_engine
+
+    n_v = vals.shape[1]
+    n_cells = n_grid**3
+    cell = box_size / n_grid
+    ijk = jnp.floor(pos / cell).astype(jnp.int32) % n_grid
+    ids = (ijk[:, 0] * n_grid + ijk[:, 1]) * n_grid + ijk[:, 2]
+    if valid is not None:
+        ids = jnp.where(valid, ids, n_cells)  # sorts last, scatter-dropped
+    centers = (ijk.astype(pos.dtype) + 0.5) * cell
+    d2 = jnp.sum((pos - centers) ** 2, axis=1)
+    pidx = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    engine = resolve_engine(engine, n_grid)
+    n_ch = n_v + 4
+
+    if engine in ("mxu", "mxu_interpret") and pos.dtype == jnp.float32:
+        cols = [pos[:, 0], pos[:, 1], pos[:, 2]] + \
+            [vals[:, c] for c in range(n_v)]
+        res = jax.lax.sort((ids, d2) + tuple(cols), num_keys=2)
+        ids_s = res[0]
+        cols_s = res[2:]
+        new_seg = ids_s[1:] != ids_s[:-1]
+        rank_mask = jnp.concatenate([jnp.array([True]), new_seg])  # k = 0
+        chans = []
+        for k in range(n_seeds):
+            m = rank_mask.astype(jnp.float32)
+            chans.extend([c * m for c in cols_s])
+            chans.append(m)  # occ: the winner contributes exactly 1.0
+            if k + 1 < n_seeds:
+                rank_mask = jnp.concatenate(
+                    [jnp.array([False]), rank_mask[:-1] & ~new_seg]
+                )
+        plan = mxu_scatter.make_deposit_plan(ids_s, n_cells)
+        grid = mxu_scatter.deposit_planned(
+            plan, jnp.stack(chans, axis=1), n_cells,
+            interpret=engine == "mxu_interpret",
+        ).reshape(n_seeds, n_ch, n_grid, n_grid, n_grid)
+        return grid
+
+    ids_s, _, pidx_s = jax.lax.sort((ids, d2, pidx), num_keys=2)
+    new_seg = ids_s[1:] != ids_s[:-1]
+    rank_mask = jnp.concatenate([jnp.array([True]), new_seg])
+    cols = [pos[:, 0], pos[:, 1], pos[:, 2]] + \
+        [vals[:, c] for c in range(n_v)] + \
+        [jnp.ones((pos.shape[0],), pos.dtype)]
+    out = []
+    for k in range(n_seeds):
+        target = jnp.where(rank_mask, ids_s, n_cells)  # losers dropped
+        chan = []
+        for col in cols:
+            ch = jnp.zeros((n_cells,), pos.dtype).at[target].set(
+                col[pidx_s], mode="drop"
+            )
+            chan.append(ch.reshape((n_grid,) * 3))
+        out.append(jnp.stack(chan))
+        if k + 1 < n_seeds:
+            rank_mask = jnp.concatenate(
+                [jnp.array([False]), rank_mask[:-1] & ~new_seg]
+            )
+    return jnp.stack(out)
+
+
+def _pool_seeds_vals(seed_ch, parent_dist2, n_seeds, big):
+    """:func:`_pool_seeds` for value-carry seeds: min-pool (k, C, n^3)
+    candidates over 2x2x2 blocks re-scored against coarse centers, all
+    channels recovered by the same packed-bits masked-max-pool trick
+    (payload channels may be negative — the -big filler handles that)."""
+    k, n_ch = seed_ch.shape[0], seed_ch.shape[1]
+    d2 = jnp.stack([
+        jnp.where(seed_ch[r, -1] > 0.5, parent_dist2(seed_ch[r, :3]), big)
+        for r in range(k)
+    ])
+    packed = jax.lax.bitcast_convert_type(d2, jnp.int32)
+
+    out = []
+    bigbits = jax.lax.bitcast_convert_type(jnp.asarray(big), jnp.int32)
+    for _ in range(n_seeds):
+        flat_min = packed[0]
+        for r in range(1, k):
+            flat_min = jnp.minimum(flat_min, packed[r])
+        win = _win_min(flat_min)
+        win_f = _upsample_cube(win)
+        mask = packed == win_f[None]
+        ch_out = []
+        valid = win < bigbits
+        for c in range(n_ch):
+            mc = jnp.full_like(seed_ch[0, 0], -big)
+            for r in range(k):
+                mc = jnp.maximum(mc, jnp.where(mask[r], seed_ch[r, c], -big))
+            ch_out.append(jnp.where(valid, _win_max(mc), 0.0))
+        out.append(jnp.stack(ch_out))
+        packed = jnp.where(mask, jnp.iinfo(jnp.int32).max, packed)
+    return jnp.stack(out)
+
+
+def _coarsest_exact_vals(seed_ch, n_grid, box_size, periodic, big):
+    """Dense all-pairs NN at the coarsest level, value-carry layout."""
+    dtype = seed_ch.dtype
+    n_ch = seed_ch.shape[1]
+    cand = seed_ch.transpose(0, 2, 3, 4, 1).reshape(-1, n_ch)  # (k n^3, C)
+    axis = _centers_1d(n_grid, box_size, dtype)
+    cx, cy, cz = jnp.meshgrid(axis, axis, axis, indexing="ij")
+    centers = jnp.stack([cx.ravel(), cy.ravel(), cz.ravel()], axis=1)
+    d = centers[:, None, :] - cand[None, :, :3]
+    if periodic:
+        d = d - box_size * jnp.round(d / box_size)
+    d2 = jnp.sum(d * d, axis=-1)
+    d2 = jnp.where(cand[None, :, -1] > 0.5, d2, big)
+    best = jnp.argmin(d2, axis=1)
+    best_ch = cand[best].T.reshape((n_ch,) + (n_grid,) * 3)
+    best_d2 = jnp.take_along_axis(d2, best[:, None], axis=1)[:, 0].reshape(
+        (n_grid,) * 3
+    )
+    return best_ch, best_d2
+
+
+def _sweep_vals(state, dist2, big, shifts, seed_ch):
+    """XLA fallback sweep in the value-carry layout; state is
+    ``(channels (C, n, n, n), d2 (n, n, n))``."""
+    k = seed_ch.shape[0]
+
+    def merge_cand(ch, d, cch):
+        cd = jnp.where(cch[-1] > 0.5, dist2(cch[:3]), big)
+        take = cd < d
+        return jnp.where(take[None], cch, ch), jnp.where(take, cd, d)
+
+    def body(st, sv):
+        ch, d = st
+        shift = (sv[0], sv[1], sv[2])
+        ch, d = merge_cand(ch, d, jnp.roll(ch, shift, axis=(1, 2, 3)))
+        for r in range(k):
+            ch, d = merge_cand(
+                ch, d, jnp.roll(seed_ch[r], shift, axis=(1, 2, 3))
+            )
+        return (ch, d), None
+
+    state, _ = jax.lax.scan(body, state, jnp.asarray(shifts, jnp.int32))
+    return state
+
+
+def _upsample_vals(ch):
+    for ax in (1, 2, 3):
+        idx = jnp.arange(2 * ch.shape[ax], dtype=jnp.int32) // 2
+        ch = jnp.take(ch, idx, axis=ax)
+    return ch
+
+
+def _premerge_inplace(ch, sc0, n_grid, box_size, periodic, big):
+    """Merge a single seed-rank field into the (occ-less) state at its
+    own cell, slab-by-slab IN PLACE: an x-slab ``fori_loop`` of
+    ``dynamic_update_slice`` keeps the merged state in ``ch``'s own
+    buffer, so the peak at the finest level is seeds + one state copy
+    instead of seeds + state + merged (~4 GB less at 512^3 — the margin
+    between fitting one chip's HBM and not)."""
+    dtype = ch.dtype
+    n_slab = 8 if n_grid % 8 == 0 else 1
+    sx = n_grid // n_slab
+    axis = _centers_1d(n_grid, box_size, dtype)
+
+    def body(i, ch):
+        x0 = i * sx
+        chs = jax.lax.dynamic_slice(
+            ch, (0, x0, 0, 0), (ch.shape[0], sx, n_grid, n_grid)
+        )
+        scs = jax.lax.dynamic_slice(
+            sc0, (0, x0, 0, 0), (sc0.shape[0], sx, n_grid, n_grid)
+        )
+        cx = jax.lax.dynamic_slice(axis, (x0,), (sx,))[:, None, None]
+        cy = axis[None, :, None]
+        cz = axis[None, None, :]
+
+        def d2(p):
+            dx = cx - p[0]
+            dy = cy - p[1]
+            dz = cz - p[2]
+            if periodic:
+                dx = dx - box_size * jnp.round(dx / box_size)
+                dy = dy - box_size * jnp.round(dy / box_size)
+                dz = dz - box_size * jnp.round(dz / box_size)
+            return dx * dx + dy * dy + dz * dz
+
+        cd = jnp.where(scs[-1] > 0.5, d2(scs[:3]), big)
+        take = (cd < d2(chs[:3]))[None]
+        merged = jnp.where(take, scs[:-1], chs)
+        return jax.lax.dynamic_update_slice(ch, merged, (0, x0, 0, 0))
+
+    return jax.lax.fori_loop(0, n_slab, body, ch)
+
+
+def _sweep_state_xla(ch, dist2, big, shifts):
+    """State-only XLA sweep (pre-merged mode: every candidate valid)."""
+    d = dist2(ch[:3])
+
+    def body(st, sv):
+        c, dd = st
+        cc = jnp.roll(c, (sv[0], sv[1], sv[2]), axis=(1, 2, 3))
+        cd = dist2(cc[:3])
+        take = cd < dd
+        return (jnp.where(take[None], cc, c), jnp.where(take, cd, dd)), None
+
+    (ch, _), _ = jax.lax.scan(body, (ch, d), jnp.asarray(shifts, jnp.int32))
+    return ch
+
+
+# Finest-level policy: above this grid size the k seed fields are merged
+# into the state at their own cell BEFORE the sweep and the sweep runs
+# state-only.  Rationale: (a) memory — k=2 seed fields of C=8 channels
+# at 512^3 are ~11 GB padded, over one chip's HBM on top of the state;
+# (b) rank-0 always wins at its own cell (ranks are ordered by own-
+# center distance), so the pre-merge loses only the rare neighbor-
+# prefers-a-home-loser repairs — sub-cell-bounded errors at a rate
+# comparable to fast mode's existing ~1e-3 class (occupancy at these
+# sizes is << 1 particle/cell for any realistic Np).  Below the
+# threshold the fully-seeded sweep runs unchanged.
+_PREMERGE_MIN = 256
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_grid", "box_size", "periodic", "n_seeds", "rounds", "use_pallas",
+    ),
+)
+def nn_gather_grid(
+    pos: jax.Array,
+    vals: jax.Array,
+    n_grid: int,
+    box_size: float,
+    periodic: bool = True,
+    n_seeds: int = 2,
+    rounds: int = 1,
+    use_pallas: bool = None,
+    valid: jax.Array = None,
+):
+    """``(payload (V, N, N, N), occ ())``: per cell, the payload
+    channels of the particle nearest to the cell center, plus a SCALAR
+    occupancy flag (1.0 iff any valid particle existed — occupancy is
+    spatially uniform because the coarsest-level solve is global, so a
+    per-cell channel would only burn an extra N^3 cube of HBM; at 512^3
+    that cube was the difference between fitting one chip and not).
+
+    Functionally ``vals[nn_assign(pos, ...)]`` — the reference's
+    NN-gather deposition (``interp.py:1018-1049``: ``pyann.nn2`` query
+    then ``f[index]``) — but the payload rides the Voronoi multigrid
+    descent as extra channels, so the O(N^3)-row gather never happens.
+    Exactness class is identical to :func:`nn_assign` fast mode (same
+    seeds, same sweeps); for ``exact=True`` semantics use the index path
+    + refinement.  ``vals`` is (Np, V) f32; V = 4 ([v, rho]) in the
+    production pipelines.
+    """
+    dtype = pos.dtype
+    pos = pos % box_size
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() not in ("cpu",) and n_grid % 8 == 0
+            and n_grid >= 64
+        )
+    premerge = n_grid >= _PREMERGE_MIN
+
+    levels = [n_grid]
+    while levels[-1] > _COARSEST and levels[-1] % 2 == 0:
+        levels.append(levels[-1] // 2)
+
+    # In pre-merged mode only rank 0 of the finest level is ever used
+    # (it is merged at its own cell, where rank 0 wins by definition);
+    # coarser levels regain n_seeds rank diversity from the 8 children
+    # per pooling block.
+    k_fine = 1 if premerge else n_seeds
+    seed_ch = _seed_grids_vals(pos, vals, n_grid, box_size, k_fine,
+                               valid=valid)
+    n_ch = seed_ch.shape[1]
+    dist2_at = {n: _make_dist2(n, box_size, periodic, dtype) for n in levels}
+    seeds = {n_grid: seed_ch}
+    for n in levels[1:]:
+        pd2 = _parent_dist2(n * 2, box_size, periodic, dtype)
+        seeds[n] = _pool_seeds_vals(seeds[n * 2], pd2, n_seeds, big)
+
+    n0 = levels[-1]
+    state = _coarsest_exact_vals(seeds[n0], n0, box_size, periodic, big)
+
+    for n in reversed(levels[:-1]):
+        finest = n == n_grid
+        if finest and premerge:
+            # upsample WITHOUT the occupancy channel (uniform after the
+            # global coarsest solve — a scalar suffices; one less
+            # n_grid^3 f32 cube live through the finest level)
+            ch = _upsample_vals(state[0][:-1])
+        else:
+            ch = _upsample_vals(state[0])
+        sc = seeds.pop(n)
+        if finest and premerge:
+            # Merge the (single-rank) seeds at their own cell, drop the
+            # occupancy channel, and run the state-only sweep.
+            occ_any = jnp.max(sc[0, -1])
+            st7 = _premerge_inplace(
+                ch, sc[0], n, float(box_size), periodic, big
+            )
+            del sc, ch
+            if use_pallas and n % 128 == 0:
+                from .nn_pallas import sweep_tiles_vals
+
+                zc = 256 if n % 256 == 0 else 128
+                for _ in range(rounds):
+                    st7 = sweep_tiles_vals(
+                        st7, None, float(box_size), periodic=periodic,
+                        has_occ=False, zc=zc,
+                    )
+                # final pass emits payload channels only (positions are
+                # dead past here; 3 fewer output cubes)
+                pay = sweep_tiles_vals(
+                    st7, None, float(box_size), periodic=periodic,
+                    has_occ=False, payload_out=True, zc=zc,
+                )
+            else:
+                for _ in range(rounds + 1):
+                    st7 = _sweep_state_xla(
+                        st7, dist2_at[n], big, _level_shifts(1)
+                    )
+                pay = st7[3:]
+            return pay, occ_any
+        if use_pallas and n % 128 == 0:
+            from .nn_pallas import sweep_tiles_vals, wrap_pad
+
+            kt_p = wrap_pad(sc.reshape(sc.shape[0] * n_ch, n, n, n), 1)
+            # zc=256 halves the DMA descriptor count vs 128 (the sweep
+            # is descriptor-bound) but VMEM with C=8 value channels is
+            # ~10.5 MB at zc=256 — fall back automatically if the grid
+            # only tiles at 128.
+            zc = 256 if n % 256 == 0 else 128
+            for _ in range(rounds + 1):
+                ch = sweep_tiles_vals(
+                    ch, kt_p, float(box_size), periodic=periodic,
+                    seeds_prepadded=True, zc=zc,
+                )
+            state = (ch, None)
+        else:
+            d = jnp.where(ch[-1] > 0.5, dist2_at[n](ch[:3]), big)
+            state = (ch, d)
+            for r in range(sc.shape[0]):
+                cd = jnp.where(sc[r, -1] > 0.5, dist2_at[n](sc[r, :3]), big)
+                take = cd < state[1]
+                state = (
+                    jnp.where(take[None], sc[r], state[0]),
+                    jnp.where(take, cd, state[1]),
+                )
+            state = _sweep_vals(
+                state, dist2_at[n], big, _level_shifts(rounds), sc
+            )
+
+    # payload channels + uniform occupancy reduced to its scalar
+    return state[0][3:-1], jnp.max(state[0][-1])
+
+
+# ---------------------------------------------------------------------- #
 # exact refinement                                                       #
 # ---------------------------------------------------------------------- #
 def _ring_refine(
@@ -594,13 +976,32 @@ def nn_interp_to_field(
     behavior (eps=0); the default fast mode has a measured <~1e-3
     sub-cell-bounded misassignment rate — still far more accurate than
     the reference's production Annoy single-tree path.
+
+    The fast path carries ``[v, rho]`` through the Voronoi descent
+    (:func:`nn_gather_grid`) so no post-assignment gather runs; for a
+    single gathered particle ``(rho v) / rho == v`` exactly, so the
+    result matches the reference's division semantics bit-for-bit.
     """
+    cell = particles.box_size / n_grid
+    if not exact:
+        vals = jnp.concatenate(
+            [particles.vel, particles.density[:, None]], axis=1
+        ).astype(jnp.float32)
+        g, occ = nn_gather_grid(
+            particles.pos, vals, n_grid, particles.box_size,
+            periodic=periodic,
+        )
+        valid = (occ > 0.5) & (g[3] > 0)
+        rho = jnp.where(valid, g[3], 0.0)
+        v_grid = jnp.where(valid[None], g[:3], 0.0)
+        return BoxField(velocity=v_grid, mass=rho * cell**3, cell_size=cell)
+
     idx = nn_assign(
         particles.pos, n_grid, particles.box_size,
         periodic=periodic,
-        n_seeds=3 if exact else 2,
-        rounds=2 if exact else 1,
-        refine_radius=2 if exact else 0,
+        n_seeds=3,
+        rounds=2,
+        refine_radius=2,
     )
     vec = particles.density_velocity_vector()
     grid = vec[idx]  # (N, N, N, 4) gather — fused into the stack below
@@ -610,5 +1011,4 @@ def nn_interp_to_field(
     v_grid = jnp.stack([
         jnp.where(valid, grid[..., c] / safe, 0.0) for c in range(3)
     ])  # CHANNELS-FIRST (TPU layout, see core.field)
-    cell = particles.box_size / n_grid
     return BoxField(velocity=v_grid, mass=rho * cell**3, cell_size=cell)

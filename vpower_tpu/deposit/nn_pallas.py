@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["sweep_tiles"]
+__all__ = ["sweep_tiles", "sweep_tiles_vals"]
 
 _HALO = 4    # x/y halo; strides 1-2 need 2, 4 keeps DMA sublane-aligned
 _ZHALO = 64  # z halo; keeps DMA lane-aligned (128-divisible extents)
@@ -165,6 +165,152 @@ def _sweep_kernel(
     out_pos[2, :, :, :] = best_p[2]
 
 
+def _sweep_vals_kernel(
+    *refs,
+    n_grid: int,
+    tile: int,
+    zc: int,
+    n_seeds: int,
+    n_ch: int,
+    has_occ: bool,
+    payload_out: bool,
+    box_size: float,
+    periodic: bool,
+    strides: Tuple[int, ...],
+):
+    """Value-carry variant of :func:`_sweep_kernel`: the candidate state
+    carries ``n_ch`` f32 channels ``[x, y, z, payload..., occ?]``
+    instead of a particle index — eliminating the final O(N^3)-row
+    ``vec[idx]`` gather of the NN pipeline (the reference's gather at
+    ``vpower/interp.py:1041-1045``), which at 512^3 cost 1.7 s of a
+    3.95 s run at XLA's ~80 M gather-rows/s.  Validity is the trailing
+    occupancy channel (1.0 = real candidate) when ``has_occ``;
+    ``has_occ=False`` asserts every candidate valid — the pre-merged
+    state-only mode (``n_seeds == 0``) used at memory-bound grid sizes,
+    where carrying k seed fields of C channels each would exceed HBM
+    (k=2, C=8 at 512^3 is ~11 GB of padded seed grids alone).
+    ``payload_out`` drops the position channels from the output — the
+    final pass of a descent needs only the payload, and emitting 3
+    fewer n^3 cubes is the difference between the 512^3 output
+    assembly fitting HBM or not."""
+    if n_seeds > 0:
+        state_hbm, seed_hbm, out_state, st_t, kt_t, sems = refs
+    else:
+        state_hbm, out_state, st_t, sems = refs
+        seed_hbm = kt_t = None
+    tx = pl.program_id(0)
+    ty = pl.program_id(1)
+    tz = pl.program_id(2)
+    x0 = tx * tile
+    y0 = ty * tile
+    z0 = tz * zc
+    h = _HALO
+    hz = _ZHALO
+    w = tile + 2 * h
+    wz = zc + 2 * hz
+    cell = box_size / n_grid
+    big = jnp.float32(3.0e38)
+
+    pairs = [(state_hbm, st_t)]
+    if n_seeds > 0:
+        pairs.append((seed_hbm, kt_t))
+    copies = []
+    for src, dst in pairs:
+        c = pltpu.make_async_copy(
+            src.at[:, pl.ds(x0, w), pl.ds(y0, w), pl.ds(z0, wz)],
+            dst, sems.at[len(copies)],
+        )
+        c.start()
+        copies.append(c)
+    for c in copies:
+        c.wait()
+
+    def fiota(dim):
+        return jax.lax.broadcasted_iota(
+            jnp.int32, (tile, tile, zc), dim
+        ).astype(jnp.float32)
+
+    fx = (fiota(0) + (jnp.float32(x0) + 0.5)) * cell
+    fy = (fiota(1) + (jnp.float32(y0) + 0.5)) * cell
+    fz = (fiota(2) + (jnp.float32(z0) + 0.5)) * cell
+
+    def dist2(px, py, pz):
+        dx_ = fx - px
+        dy_ = fy - py
+        dz_ = fz - pz
+        if periodic:
+            dx_ = dx_ - box_size * jnp.round(dx_ / box_size)
+            dy_ = dy_ - box_size * jnp.round(dy_ / box_size)
+            dz_ = dz_ - box_size * jnp.round(dz_ / box_size)
+        return dx_ * dx_ + dy_ * dy_ + dz_ * dz_
+
+    def window(ref, c0, dx, dy, dz):
+        return ref[
+            c0,
+            slice(h + dx, h + dx + tile),
+            slice(h + dy, h + dy + tile),
+            slice(hz + dz, hz + dz + zc),
+        ]
+
+    best_c = [window(st_t, c, 0, 0, 0) for c in range(n_ch)]
+    if has_occ:
+        best_d = jnp.where(
+            best_c[n_ch - 1] > 0.5,
+            dist2(best_c[0], best_c[1], best_c[2]),
+            big,
+        )
+    else:
+        best_d = dist2(best_c[0], best_c[1], best_c[2])
+
+    def consider(ref, c0, dx, dy, dz, best_c, best_d):
+        px = window(ref, c0, dx, dy, dz)
+        py = window(ref, c0 + 1, dx, dy, dz)
+        pz = window(ref, c0 + 2, dx, dy, dz)
+        if has_occ:
+            occ = window(ref, c0 + n_ch - 1, dx, dy, dz)
+            cd = jnp.where(occ > 0.5, dist2(px, py, pz), big)
+        else:
+            cd = dist2(px, py, pz)
+        take = cd < best_d
+        new_c = [
+            jnp.where(take, window(ref, c0 + c, dx, dy, dz), best_c[c])
+            if c > 2 else None
+            for c in range(n_ch)
+        ]
+        new_c[0] = jnp.where(take, px, best_c[0])
+        new_c[1] = jnp.where(take, py, best_c[1])
+        new_c[2] = jnp.where(take, pz, best_c[2])
+        return new_c, jnp.where(take, cd, best_d)
+
+    for s in strides:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    if (dx, dy, dz) == (0, 0, 0):
+                        fields = range(n_seeds)  # seeds at own cell
+                    else:
+                        fields = range(-1, n_seeds)  # -1 = state field
+                    for f in fields:
+                        if f < 0:
+                            best_c, best_d = consider(
+                                st_t, 0, dx * s, dy * s, dz * s,
+                                best_c, best_d,
+                            )
+                        else:
+                            best_c, best_d = consider(
+                                kt_t, f * n_ch, dx * s, dy * s, dz * s,
+                                best_c, best_d,
+                            )
+
+    if payload_out:
+        n_pay = n_ch - 3 - (1 if has_occ else 0)
+        for c in range(n_pay):
+            out_state[c, :, :, :] = best_c[3 + c]
+    else:
+        for c in range(n_ch):
+            out_state[c, :, :, :] = best_c[c]
+
+
 def wrap_pad(x: jax.Array, spatial_start: int) -> jax.Array:
     """Periodic pad for the sweep kernel: x/y by _HALO, z by _ZHALO.
     Exposed so callers invoking the kernel repeatedly can pad the
@@ -256,3 +402,80 @@ def sweep_tiles(
         ],
         interpret=interpret,
     )(si_p, sp_p, ki_p, kp_p)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("box_size", "periodic", "has_occ", "payload_out",
+                     "tile", "zc", "strides", "interpret",
+                     "seeds_prepadded"),
+)
+def sweep_tiles_vals(
+    state: jax.Array,       # (C, N, N, N) f32: [x, y, z, payload..., occ?]
+    seeds: jax.Array,       # (k*C, N, N, N) f32 (or pre-padded) or None
+    box_size: float,
+    periodic: bool = True,
+    has_occ: bool = True,
+    payload_out: bool = False,
+    tile: int = 8,
+    zc: int = 128,
+    strides: Tuple[int, ...] = (2, 1),
+    interpret: bool = False,
+    seeds_prepadded: bool = False,
+):
+    """One fused value-carry sweep pass.  ``state`` carries candidate
+    position channels 0..2 and payload channels, with a trailing
+    occupancy channel when ``has_occ``; ``seeds`` stacks ``k`` rank
+    fields of the same layout, or is None for the pre-merged state-only
+    mode.  Returns the merged (C, N, N, N) state.  Same alignment
+    contract as :func:`sweep_tiles` (N % 128 == 0 for the compiled
+    path; tests run any N in interpret mode)."""
+    n_ch = state.shape[0]
+    n = state.shape[1]
+    assert n % tile == 0, "grid must divide the tile size"
+    zc = min(zc, n)
+    assert n % zc == 0
+    if seeds is not None:
+        assert seeds.shape[0] % n_ch == 0
+        k = seeds.shape[0] // n_ch
+    else:
+        k = 0
+    grid = (n // tile, n // tile, n // zc)
+    h, hz = _HALO, _ZHALO
+    w, wz = tile + 2 * h, zc + 2 * hz
+
+    st_p = wrap_pad(state, 1)
+    operands = [st_p]
+    scratch = [pltpu.VMEM((n_ch, w, w, wz), jnp.float32)]
+    if k > 0:
+        kt_p = seeds if seeds_prepadded else wrap_pad(seeds, 1)
+        operands.append(kt_p)
+        scratch.append(pltpu.VMEM((k * n_ch, w, w, wz), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((len(operands),)))
+
+    kernel = partial(
+        _sweep_vals_kernel,
+        n_grid=n,
+        tile=tile,
+        zc=zc,
+        n_seeds=k,
+        n_ch=n_ch,
+        has_occ=has_occ,
+        payload_out=payload_out,
+        box_size=float(box_size),
+        periodic=periodic,
+        strides=strides,
+    )
+    n_out = (n_ch - 3 - (1 if has_occ else 0)) if payload_out else n_ch
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
+        out_specs=pl.BlockSpec(
+            (n_out, tile, tile, zc), lambda i, j, l: (0, i, j, l),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_out, n, n, n), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*operands)

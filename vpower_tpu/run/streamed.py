@@ -47,7 +47,7 @@ import jax.numpy as jnp
 
 from ..core.particles import Particles
 from ..deposit import mxu_scatter
-from ..deposit.nn import nn_assign
+from ..deposit.nn import nn_assign, nn_gather_grid
 from ..deposit.scatter import resolve_engine
 from ..spectrum import power as power_mod
 from ..spectrum.fold import get_phase
@@ -168,18 +168,38 @@ def _nn_block_values(
 ) -> jax.Array:
     """(C, n_grid^3) full-res field values of one block by exact-NN
     gather (reference ANN semantics: open-box metric, value of the
-    nearest particle — ``interp.py:246-277, 1018-1049``)."""
+    nearest particle — ``interp.py:246-277, 1018-1049``).
+
+    The fast path (``exact=False``) carries the quantity's channels
+    through the Voronoi descent (:func:`~vpower_tpu.deposit.nn.
+    nn_gather_grid`) instead of gathering rows afterwards — the gather
+    was the single largest cost of the 2048-range streamed run."""
     pos = cand[:, :3]
     vel = cand[:, 3:6]
     rho = cand[:, 6]
     valid = jnp.arange(cand.shape[0], dtype=jnp.int32) < count
+    sl = slice(margin_cells, margin_cells + n_grid)
+
+    if not exact:
+        if quantity == "velocity":
+            vals = vel
+        elif quantity == "momentum":
+            vals = vel * (rho[:, None] * cell**3)
+        elif quantity == "energy":
+            vals = (rho * cell**3 * jnp.sum(vel**2, axis=1))[:, None]
+        else:
+            raise ValueError(f"Unsupported quantity {quantity!r}")
+        g, occ = nn_gather_grid(
+            pos, vals, n_ext, ext_box, periodic=False, valid=valid,
+        )
+        return jnp.where(occ > 0.5, g[:, sl, sl, sl], 0.0)
+
     idx = nn_assign(
         pos, n_ext, ext_box, periodic=False,
-        n_seeds=3 if exact else 2,
-        refine_radius=2 if exact else 0,
+        n_seeds=3,
+        refine_radius=2,
         valid=valid,
     )
-    sl = slice(margin_cells, margin_cells + n_grid)
     idx = idx[sl, sl, sl]
     ok = idx >= 0
     idxc = jnp.where(ok, idx, 0)
@@ -475,6 +495,19 @@ def streamed_folded_sweep(
         total_bytes_f32 = n_blocks * n_ch * n_grid**3 * 4
         cache_dtype = np.float32 if total_bytes_f32 <= cache_bytes_limit \
             else np.float16
+        if cache_dtype is np.float16:
+            import warnings
+
+            warnings.warn(
+                f"block-value cache ({total_bytes_f32 / 1e9:.1f} GB as "
+                f"float32) exceeds cache_bytes_limit="
+                f"{cache_bytes_limit / 1e9:.1f} GB; caching in float16 — "
+                f"beta batches after the first reuse f16-rounded field "
+                f"values (~3 decimal digits).  Raise cache_bytes_limit, "
+                f"lower beta_batch, or pass cache=False for full "
+                f"precision on every pass.",
+                stacklevel=2,
+            )
 
     def get_block(q: int) -> jax.Array:
         if cache and q in cache_store:
