@@ -135,3 +135,57 @@ def test_cli_folded_sph_streams(tmp_path, snapshot):
     assert rc == 0
     pk = np.loadtxt(os.path.join(out, "Pk.txt"))
     assert np.isfinite(pk).all() and pk.shape[1] == 4
+
+
+def test_cli_streamed_mesh_matches_single_chip(tmp_path, snapshot):
+    """The canonical folded-velocity NN run through the CLI on the
+    8-device mesh writes the same Pk.txt as the forced single-chip run
+    (VERDICT r2 item 2: a pod user must get the mesh, with identical
+    results)."""
+    base = ["-i", snapshot, "-N", "32", "-M", "16", "-f",
+            "--method", "nn", "--quantity", "velocity", "--margin", "8",
+            "--beta-batch", "4"]
+    out_mesh = str(tmp_path / "mesh")
+    os.makedirs(out_mesh)
+    assert main(base + ["-o", out_mesh]) == 0
+    out_one = str(tmp_path / "one")
+    os.makedirs(out_one)
+    assert main(base + ["-o", out_one, "--single-chip"]) == 0
+    pk_mesh = np.loadtxt(os.path.join(out_mesh, "Pk.txt"))
+    pk_one = np.loadtxt(os.path.join(out_one, "Pk.txt"))
+    np.testing.assert_array_equal(pk_mesh[:, 3], pk_one[:, 3])
+    np.testing.assert_allclose(pk_mesh[:, 2], pk_one[:, 2],
+                               rtol=2e-4, atol=1e-10)
+
+
+def test_cli_subsample_splice(tmp_path, snapshot):
+    """--betas subsample runs also write Pk_full.txt: unfolded coarse
+    low-k spliced with the folded high-k (reference recipe,
+    vpower/spctrm.py:142-166).  The splice must agree with the full
+    m^3 sweep within beta-sampling noise."""
+    out_sub = str(tmp_path / "sub")
+    os.makedirs(out_sub)
+    base = ["-N", "32", "-M", "16", "-f", "--method", "cic",
+            "--quantity", "velocity", "--single-chip"]
+    rc = main(["-i", snapshot, "-o", out_sub, "--betas", "4", "--seed", "3"]
+              + base)
+    assert rc == 0
+    full_path = os.path.join(out_sub, "Pk_full.txt")
+    assert os.path.isfile(full_path)
+    spliced = np.loadtxt(full_path)
+    assert np.isfinite(spliced).all()
+    # low-k coverage restored: bins down to kmin=2*pi/L are sampled
+    assert spliced[0, 3] > 0
+
+    out_full = str(tmp_path / "full")
+    os.makedirs(out_full)
+    rc = main(["-i", snapshot, "-o", out_full] + base)
+    assert rc == 0
+    ref = np.loadtxt(os.path.join(out_full, "Pk.txt"))
+    # overlap band: compare band-averaged P where both are sampled
+    n = min(len(spliced), len(ref))
+    s, r = spliced[:n], ref[:n]
+    both = (s[:, 3] > 0) & (r[:, 3] > 0)
+    ps = np.average(s[both, 1], weights=s[both, 3])
+    pr = np.average(r[both, 1], weights=r[both, 3])
+    assert abs(ps - pr) / pr < 0.35, (ps, pr)

@@ -264,3 +264,34 @@ def test_distributed_streamed_sweep_matches_single_chip():
             np.testing.assert_allclose(sg.Psum, sr.Psum,
                                        rtol=2e-4, atol=1e-8)
             np.testing.assert_array_equal(sg.Nsample, sr.Nsample)
+
+
+def test_streamed_sweep_candidate_sharding_memory():
+    """NN candidate rows are partitioned by device block ownership: each
+    device's shard is ~1/ndev of the whole-run array (plus per-block
+    padding), not a full replica (VERDICT r2 item 3)."""
+    import jax.numpy as jnp
+    from vpower_tpu import Particles
+    from vpower_tpu.run import streamed as run_streamed
+
+    key = jax.random.PRNGKey(11)
+    kp, kv = jax.random.split(key)
+    n = 20000
+    p = Particles(
+        pos=jax.random.uniform(kp, (n, 3), jnp.float32),
+        mass=jnp.ones((n,), jnp.float32),
+        density=jnp.ones((n,), jnp.float32),
+        vel=jax.random.normal(kv, (n, 3), jnp.float32),
+        box_size=1.0,
+    )
+    m, n_grid, margin = 2, 16, 4
+    rows, starts, counts, pad, _, _ = run_streamed._block_candidates(
+        p, m, n_grid, margin
+    )
+    ndev = 8
+    nb_local = m**3 // ndev
+    counts_dev = counts.reshape(ndev, nb_local)
+    r_dev = int(counts_dev.sum(axis=1).max()) + pad
+    # each shard must be well under the full candidate array; with 8
+    # roughly-balanced blocks the max shard is ~1/8 plus slack
+    assert r_dev < 0.3 * len(rows), (r_dev, len(rows))

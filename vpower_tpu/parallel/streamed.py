@@ -15,6 +15,14 @@ already-folded O(n_grid^3) field.
 Work per device is O(m^3 / n_devices) block passes; device memory is
 O(beta_batch * n_grid^3) exactly as on one chip.  Methods: ``nn``
 (exact Voronoi gather), ``ngp``/``cic`` (scatter + divide).
+
+NN candidate rows are partitioned host-side by device block ownership
+and sharded over the mesh (``in_specs=P('b')``), so each device holds
+only its own blocks' candidates — the per-rank memory bounding the
+reference's gen-2/4 designs existed for
+(``scripts/parallel_disk.py:67-85``); scatter methods replicate the raw
+particle arrays, which are O(Np) and small compared to the
+periodic-image-expanded candidate runs.
 """
 from __future__ import annotations
 
@@ -25,7 +33,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.particles import Particles
@@ -46,6 +54,7 @@ def distributed_streamed_sweep(
     beta_batch: int = 4,
     margin_cells: Optional[int] = None,
     exact: bool = False,
+    on_spectrum=None,
 ) -> SpectrumList:
     """Folded sub-spectra of a derived field over ``mesh``, block-
     parallel.  Requires ``m**3 % n_devices == 0`` (whole blocks per
@@ -88,27 +97,50 @@ def distributed_streamed_sweep(
             )
         cell_total = box / n_total
         ext_box_grid = n_ext * cell_total
-        arrays = (
-            jnp.asarray(rows),
-            jnp.asarray(starts, jnp.int32),
-            jnp.asarray(counts, jnp.int32),
-        )
 
-        def block_values(q, rows_d, starts_d, counts_d):
+        # Partition the candidate runs by device block ownership: device
+        # d's shard holds ONLY its nb_local blocks' runs (equal-size
+        # shards, zero-padded), so per-device candidate memory is
+        # ~1/ndev of the whole-run array instead of a full replica.
+        counts_dev = counts.reshape(ndev, nb_local).astype(np.int32)
+        dev_tot = counts_dev.sum(axis=1)
+        r_dev = int(dev_tot.max()) + pad
+        rows_dev = np.zeros((ndev * r_dev, rows.shape[1]), np.float32)
+        starts_dev = np.empty((ndev, nb_local), np.int32)
+        for d in range(ndev):
+            q0 = d * nb_local
+            seg0 = int(starts[q0])
+            seg = rows[seg0: seg0 + int(dev_tot[d])]
+            rows_dev[d * r_dev: d * r_dev + len(seg)] = seg
+            starts_dev[d] = (starts[q0: q0 + nb_local] - seg0).astype(
+                np.int32
+            )
+        arrays = (
+            jnp.asarray(rows_dev),
+            jnp.asarray(starts_dev),
+            jnp.asarray(counts_dev),
+        )
+        arr_specs = (P("b"), P("b"), P("b"))
+
+        def block_values(i, q, rows_d, starts_d, counts_d):
             cand = jax.lax.dynamic_slice(
-                rows_d, (starts_d[q], jnp.int32(0)), (pad, 7)
+                rows_d, (starts_d[0, i], jnp.int32(0)),
+                (pad, rows_d.shape[1]),
             )
             return run_streamed._nn_block_values(
-                cand, counts_d[q], n_grid, n_ext, margin_cells,
+                cand, counts_d[0, i], n_grid, n_ext, margin_cells,
                 float(ext_box_grid), float(cell_total), quantity, exact,
             ).reshape(n_ch, n_grid**3)
 
     elif method in ("ngp", "cic", "sph"):
+        # Raw particle arrays are O(Np) — small next to image-expanded
+        # candidate runs — so scatter methods replicate them.
         arrays = (particles.pos, particles.vel, particles.mass)
         if method == "sph":
             arrays = arrays + (particles.smoothing_length(),)
+        arr_specs = (P(),) * len(arrays)
 
-        def block_values(q, pos_d, vel_d, mass_d, *h_d):
+        def block_values(i, q, pos_d, vel_d, mass_d, *h_d):
             qv = jnp.stack(
                 [q // (m * m), (q // m) % m, q % m]
             ).astype(jnp.int32)
@@ -128,7 +160,7 @@ def distributed_streamed_sweep(
             def scan_body(carry, i):
                 acc_re, acc_im = carry
                 q = d * nb_local + i
-                vals = block_values(q, *arrs)
+                vals = block_values(i, q, *arrs)
                 qv = jnp.stack(
                     [q // (m * m), (q // m) % m, q % m]
                 ).astype(jnp.float32)
@@ -160,10 +192,9 @@ def distributed_streamed_sweep(
                 ns.append(nsamp)
             return ks[0], jnp.stack(ps), jnp.stack(ns)
 
-        specs = (P(),) * (1 + len(arrays))
         return jax.jit(shard_map(
-            body, mesh=flat_mesh, in_specs=specs,
-            out_specs=(P(), P(), P()), check_rep=False,
+            body, mesh=flat_mesh, in_specs=(P(),) + arr_specs,
+            out_specs=(P(), P(), P()), check_vma=False,
         ))
 
     runners = {}
@@ -177,9 +208,12 @@ def distributed_streamed_sweep(
         k, psum, nsamp = runners[B](jnp.asarray(batch), *arrays)
         k_np = np.asarray(k)
         for j, beta in enumerate(batch):
-            spectra.append(PowerSpectrum.from_binned(
+            s = PowerSpectrum.from_binned(
                 k_np, np.asarray(psum[j]), np.asarray(nsamp[j]),
                 m=m, beta=tuple(int(b) for b in beta),
-            ))
+            )
+            spectra.append(s)
+            if on_spectrum is not None:
+                on_spectrum(s)  # e.g. the CLI's per-beta checkpoint
         i += beta_batch
     return SpectrumList(spectra)
