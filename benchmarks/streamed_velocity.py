@@ -53,10 +53,12 @@ def main():
             print(f"[{el:8.1f}s] batch {bi + 1}/{n_batches} "
                   f"block {q + 1}/{n_blocks}", flush=True)
 
+    stages = {}
     sweep = streamed_folded_sweep(
         particles, n_grid, m, quantity="velocity", method="nn",
         beta_sequence=betas, beta_batch=min(n_betas, 8),
         margin_cells=64, cache=False, progress=progress,
+        stage_times=stages,
     )
     wall = time.time() - t0
     combined = sweep.combine_all()
@@ -73,6 +75,7 @@ def main():
         "first_block_s_incl_compile": round(t_first_block[0] or 0.0, 2),
         "modes_binned": float(combined.Nsample.sum()),
         "n_blocks": m**3,
+        "stages": stages,
     }
     print(json.dumps(result), flush=True)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),

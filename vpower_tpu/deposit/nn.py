@@ -617,6 +617,7 @@ _PREMERGE_MIN = 256
     jax.jit,
     static_argnames=(
         "n_grid", "box_size", "periodic", "n_seeds", "rounds", "use_pallas",
+        "return_d2",
     ),
 )
 def nn_gather_grid(
@@ -629,6 +630,7 @@ def nn_gather_grid(
     rounds: int = 1,
     use_pallas: bool = None,
     valid: jax.Array = None,
+    return_d2: bool = False,
 ):
     """``(payload (V, N, N, N), occ ())``: per cell, the payload
     channels of the particle nearest to the cell center, plus a SCALAR
@@ -706,17 +708,29 @@ def nn_gather_grid(
                         has_occ=False, zc=zc,
                     )
                 # final pass emits payload channels only (positions are
-                # dead past here; 3 fewer output cubes)
+                # dead past here; 3 fewer output cubes).  When the
+                # exactness certificate is requested (:mod:`.nn_window`),
+                # the candidate d2 rides out of the same pass as one
+                # extra channel — recomputing it from positions would
+                # extend st7's HBM lifetime through the pass and tip
+                # 512^3 over one chip's HBM.
                 pay = sweep_tiles_vals(
                     st7, None, float(box_size), periodic=periodic,
-                    has_occ=False, payload_out=True, zc=zc,
+                    has_occ=False, payload_out=True, d2_out=return_d2,
+                    zc=zc,
                 )
+                if return_d2:
+                    d2_ub = pay[-1]
+                    pay = pay[:-1]
             else:
                 for _ in range(rounds + 1):
                     st7 = _sweep_state_xla(
                         st7, dist2_at[n], big, _level_shifts(1)
                     )
                 pay = st7[3:]
+                d2_ub = dist2_at[n](st7[:3]) if return_d2 else None
+            if return_d2:
+                return pay, occ_any, d2_ub
             return pay, occ_any
         if use_pallas and n % 128 == 0:
             from .nn_pallas import sweep_tiles_vals, wrap_pad
@@ -748,6 +762,11 @@ def nn_gather_grid(
             )
 
     # payload channels + uniform occupancy reduced to its scalar
+    if return_d2:
+        d2_ub = jnp.where(
+            state[0][-1] > 0.5, dist2_at[n_grid](state[0][:3]), big
+        )
+        return state[0][3:-1], jnp.max(state[0][-1]), d2_ub
     return state[0][3:-1], jnp.max(state[0][-1])
 
 
@@ -971,9 +990,13 @@ def nn_interp_to_field(
     density-velocity vector per cell, then ``v = (rho v) / rho`` and
     ``mass = rho * Lcell^3``.
 
-    ``exact=True`` adds three-rank seeding plus the particle-major
-    radius-2 refinement, matching the reference library's exact-ANN
-    behavior (eps=0); the default fast mode has a measured <~1e-3
+    ``exact=True`` routes to the provably-exact sorted-segment window
+    sweep (:func:`vpower_tpu.deposit.nn_window.nn_window_gather`) for
+    grids its tiling fits (n_grid % 64 == 0) — genuinely exact NN on
+    one chip at production sizes, matching the reference library's
+    exact-ANN behavior (eps=0) including pathological clustering; other
+    grids fall back to three-rank seeding plus the particle-major
+    radius-2 refinement.  The default fast mode has a measured <~1e-3
     sub-cell-bounded misassignment rate — still far more accurate than
     the reference's production Annoy single-tree path.
 
@@ -995,6 +1018,21 @@ def nn_interp_to_field(
         rho = jnp.where(valid, g[3], 0.0)
         v_grid = jnp.where(valid[None], g[:3], 0.0)
         return BoxField(velocity=v_grid, mass=rho * cell**3, cell_size=cell)
+
+    if n_grid % 64 == 0:
+        from .nn_window import nn_window_gather
+
+        vals = particles.density_velocity_vector().astype(jnp.float32)
+        pay, _, occ = nn_window_gather(
+            particles.pos, vals, n_grid, particles.box_size,
+            periodic=periodic,
+        )
+        rho = pay[3]
+        valid = (occ > 0.5) & (rho > 0)
+        safe = jnp.where(rho > 0, rho, 1.0)
+        v_grid = jnp.where(valid[None], pay[:3] / safe, 0.0)
+        mass = jnp.where(valid, rho, 0.0) * cell**3
+        return BoxField(velocity=v_grid, mass=mass, cell_size=cell)
 
     idx = nn_assign(
         particles.pos, n_grid, particles.box_size,

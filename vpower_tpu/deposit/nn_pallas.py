@@ -174,6 +174,7 @@ def _sweep_vals_kernel(
     n_ch: int,
     has_occ: bool,
     payload_out: bool,
+    d2_out: bool,
     box_size: float,
     periodic: bool,
     strides: Tuple[int, ...],
@@ -306,6 +307,11 @@ def _sweep_vals_kernel(
         n_pay = n_ch - 3 - (1 if has_occ else 0)
         for c in range(n_pay):
             out_state[c, :, :, :] = best_c[3 + c]
+        if d2_out:
+            # the exactness upper bound for the window sweep
+            # (:mod:`.nn_window`) rides out as one extra channel —
+            # zero extra HBM lifetime vs recomputing it from positions
+            out_state[n_pay, :, :, :] = best_d
     else:
         for c in range(n_ch):
             out_state[c, :, :, :] = best_c[c]
@@ -407,7 +413,7 @@ def sweep_tiles(
 @partial(
     jax.jit,
     static_argnames=("box_size", "periodic", "has_occ", "payload_out",
-                     "tile", "zc", "strides", "interpret",
+                     "d2_out", "tile", "zc", "strides", "interpret",
                      "seeds_prepadded"),
 )
 def sweep_tiles_vals(
@@ -417,6 +423,7 @@ def sweep_tiles_vals(
     periodic: bool = True,
     has_occ: bool = True,
     payload_out: bool = False,
+    d2_out: bool = False,
     tile: int = 8,
     zc: int = 128,
     strides: Tuple[int, ...] = (2, 1),
@@ -462,11 +469,14 @@ def sweep_tiles_vals(
         n_ch=n_ch,
         has_occ=has_occ,
         payload_out=payload_out,
+        d2_out=d2_out,
         box_size=float(box_size),
         periodic=periodic,
         strides=strides,
     )
     n_out = (n_ch - 3 - (1 if has_occ else 0)) if payload_out else n_ch
+    if payload_out and d2_out:
+        n_out += 1
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -408,6 +408,7 @@ def streamed_folded_sweep(
     cache_bytes_limit: float = 32e9,
     progress=None,
     on_spectrum=None,
+    stage_times: Optional[dict] = None,
 ) -> SpectrumList:
     """Folded sub-spectra of a DERIVED field (velocity / energy /
     momentum) for any deposition method, with O(n_grid^3) device memory
@@ -423,7 +424,14 @@ def streamed_folded_sweep(
     Matches the reference's canonical distributed pipeline semantics
     (``parallel_optimized.py:337-398``) — this is the "folded velocity
     power spectrum" the project is named for.
+
+    ``stage_times``: pass a dict to receive a wall-clock breakdown —
+    ``candidates_s`` (host-side per-block run sort), ``blocks_s``
+    (deposition + fold-accumulate, synced once per batch by a scalar
+    transfer — device syncs are free relative to a batch), ``finish_s``
+    (per-beta FFT power + shell binning).
     """
+    import time as _time
     if beta_sequence is None:
         beta_sequence = init_beta_space(m)
     betas_np = np.asarray(beta_sequence, np.int32).reshape(-1, 3)
@@ -447,9 +455,12 @@ def streamed_folded_sweep(
         if n_ext - n_grid != 2 * margin_cells:
             n_ext += rounder
             margin_cells = (n_ext - n_grid) // 2
+        _t0 = _time.time()
         rows, starts, counts, pad, ext_box, _ = _block_candidates(
             particles, m, n_grid, margin_cells
         )
+        if stage_times is not None:
+            stage_times["candidates_s"] = round(_time.time() - _t0, 2)
         rows_d = jnp.asarray(rows)
         cell_total = box / n_total
         # the extended frame covers n_ext cells of the SAME cell size
@@ -522,6 +533,7 @@ def streamed_folded_sweep(
     for bi in range(n_batches):
         batch = betas_np[bi * beta_batch: (bi + 1) * beta_batch]
         B = len(batch)
+        _tb = _time.time()
         acc_re = jnp.zeros((B, n_ch, n_grid**3), jnp.float32)
         acc_im = jnp.zeros((B, n_ch, n_grid**3), jnp.float32)
         for q in range(n_blocks):
@@ -534,6 +546,12 @@ def streamed_folded_sweep(
             )
             if progress is not None:
                 progress(bi, n_batches, q, n_blocks)
+        if stage_times is not None:
+            float(acc_re[0, 0, 0])  # sync (axon: block_until_ready no-op)
+            stage_times["blocks_s"] = round(
+                stage_times.get("blocks_s", 0.0) + _time.time() - _tb, 2
+            )
+            _tb = _time.time()
         for j, beta in enumerate(batch):
             k, psum, nsamp = _finish_beta(
                 acc_re[j], acc_im[j], jnp.asarray(beta, jnp.int32),
@@ -546,6 +564,10 @@ def streamed_folded_sweep(
             spectra.append(s)
             if on_spectrum is not None:
                 on_spectrum(s)  # e.g. the CLI's per-beta checkpoint
+        if stage_times is not None:
+            stage_times["finish_s"] = round(
+                stage_times.get("finish_s", 0.0) + _time.time() - _tb, 2
+            )
     return SpectrumList(spectra)
 
 
