@@ -91,6 +91,9 @@ def main():
                 "value": round(value, 3),
                 "unit": "s",
                 "vs_baseline": round(BASELINE_SECONDS / value, 2),
+                # domain throughput: grid cells NN-assigned per second
+                # (the reference managed ~1-2 M queries/s/core)
+                "nn_queries_per_s": round(N_GRID**3 / value / 1e6, 1) * 1e6,
                 "range1024_s": round(range1024_s, 2),
                 "range1024_target_s": 10.0,
             }

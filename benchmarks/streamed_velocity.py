@@ -21,6 +21,15 @@ def main():
     ntot = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     n_betas = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
+    # persistent compile cache (same facility as the CLI's
+    # --compile-cache): the record keeps first-block-incl-compile
+    # separate, and cached reruns measure the steady pipeline
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/vpower_jax"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from vpower_tpu.io.synthetic import (
         gaussian_random_field, grid_positions, particles_from_field,
     )

@@ -107,6 +107,44 @@ def test_payload_matches_oracle_gather():
         )
 
 
+def test_d2_seed_is_upper_bound():
+    """The d2-only descent (zero payload channels) returns a valid
+    upper bound on the true NN distance at every cell — the property
+    the window sweep's exactness certificate rests on — in BOTH the
+    normal and the pre-merged descent modes."""
+    from vpower_tpu.deposit import nn as nnmod
+
+    pos = jax.random.uniform(jax.random.PRNGKey(0), (3000, 3), jnp.float32)
+    vals0 = jnp.zeros((3000, 0), jnp.float32)
+    p = np.asarray(pos)
+    cell = 1.0 / 64
+    ax = (np.arange(64, dtype=np.float32) + 0.5) * cell
+    cx, cy, cz = np.meshgrid(ax, ax, ax, indexing="ij")
+    q = np.stack([cx, cy, cz], -1).reshape(-1, 3)
+    true_d2 = np.empty(q.shape[0], np.float32)
+    for i0 in range(0, q.shape[0], 16384):
+        d = q[i0:i0 + 16384, None, :] - p[None, :, :]
+        d -= np.round(d)
+        true_d2[i0:i0 + 16384] = (d * d).sum(-1).min(1)
+    true_d2 = true_d2.reshape(64, 64, 64)
+
+    orig = nnmod._PREMERGE_MIN
+    try:
+        for premerge_min in (256, 64):  # normal / forced-premerge
+            nnmod._PREMERGE_MIN = premerge_min
+            pay, occ, d2 = nnmod.nn_gather_grid(
+                pos, vals0, 64, 1.0, return_d2=True
+            )
+            assert pay.shape == (0, 64, 64, 64)
+            assert float(occ) == 1.0
+            gap = np.asarray(d2) - true_d2
+            # >= up to f32 rounding (absorbed by the +0.01-cell slack
+            # in _h_required and the 1e-5 nudge)
+            assert gap.min() > -1e-8, gap.min()
+    finally:
+        nnmod._PREMERGE_MIN = orig
+
+
 def test_interpret_kernel_matches_xla_mirror():
     """The actual Pallas kernel (interpret mode) and the XLA mirror make
     identical decisions — chunk clamping, span edges, tie order."""

@@ -613,6 +613,28 @@ def _sweep_state_xla(ch, dist2, big, shifts):
 _PREMERGE_MIN = 256
 
 
+def _pallas_zc(n: int):
+    """z-chunk extent for the value-carry Pallas sweep at grid size
+    ``n``, or None when no lane-aligned tiling exists (XLA fallback).
+
+    n % 128 == 0 grids chunk normally (bigger chunk = fewer DMA
+    descriptors; the sweep is descriptor-bound — zc=384 measured 0.21 s
+    vs 0.28 s at zc=128 on a 384^3 pass).  n % 128 == 64 grids run one
+    full-z chunk with a 32-cell halo (lane extent n + 64 stays
+    128-divisible): this puts the 192^3 pyramid level of a 384^3
+    streamed-block descent on the MXU path — its XLA fallback was the
+    single costliest stage (~0.61 s of 1.18 s/block) of the 2048-range
+    pipeline.  Capped at 384 to keep the seeded sweep's VMEM inside one
+    core (~10 MB at k=2, C=8, wz=448)."""
+    if n % 128 == 0:
+        for zc in (384, 256, 128):
+            if n % zc == 0:
+                return zc
+    if n % 64 == 0 and 128 < n <= 384:
+        return n
+    return None
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -698,10 +720,10 @@ def nn_gather_grid(
                 ch, sc[0], n, float(box_size), periodic, big
             )
             del sc, ch
-            if use_pallas and n % 128 == 0:
+            zc = _pallas_zc(n)
+            if use_pallas and zc:
                 from .nn_pallas import sweep_tiles_vals
 
-                zc = 256 if n % 256 == 0 else 128
                 for _ in range(rounds):
                     st7 = sweep_tiles_vals(
                         st7, None, float(box_size), periodic=periodic,
@@ -732,15 +754,13 @@ def nn_gather_grid(
             if return_d2:
                 return pay, occ_any, d2_ub
             return pay, occ_any
-        if use_pallas and n % 128 == 0:
-            from .nn_pallas import sweep_tiles_vals, wrap_pad
+        zc = _pallas_zc(n)
+        if use_pallas and zc:
+            from .nn_pallas import halo_z, sweep_tiles_vals, wrap_pad
 
-            kt_p = wrap_pad(sc.reshape(sc.shape[0] * n_ch, n, n, n), 1)
-            # zc=256 halves the DMA descriptor count vs 128 (the sweep
-            # is descriptor-bound) but VMEM with C=8 value channels is
-            # ~10.5 MB at zc=256 — fall back automatically if the grid
-            # only tiles at 128.
-            zc = 256 if n % 256 == 0 else 128
+            kt_p = wrap_pad(
+                sc.reshape(sc.shape[0] * n_ch, n, n, n), 1, halo_z(zc)
+            )
             for _ in range(rounds + 1):
                 ch = sweep_tiles_vals(
                     ch, kt_p, float(box_size), periodic=periodic,

@@ -34,10 +34,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["sweep_tiles", "sweep_tiles_vals"]
+__all__ = ["sweep_tiles", "sweep_tiles_vals", "halo_z"]
 
 _HALO = 4    # x/y halo; strides 1-2 need 2, 4 keeps DMA sublane-aligned
 _ZHALO = 64  # z halo; keeps DMA lane-aligned (128-divisible extents)
+
+
+def halo_z(zc: int) -> int:
+    """z halo for a chunk extent ``zc``: the smallest halo >= the sweep
+    reach (2) that keeps the DMA window lane extent (zc + 2 hz) a
+    multiple of 128.  zc % 128 == 0 -> 64 (the classic chunking);
+    zc % 128 == 64 -> 32 (single-full-z-chunk mode for n % 128 != 0
+    grids — e.g. the 192^3 level of a 384^3 streamed-block descent,
+    whose XLA fallback was the single costliest stage of the 2048-range
+    pipeline); small even zc (interpret-mode tests) get the aligned
+    complement."""
+    assert zc % 2 == 0, zc
+    hz = ((128 - zc % 128) % 128) // 2
+    if hz < 2:
+        hz += 64
+    return hz
 
 
 def _sweep_kernel(
@@ -204,9 +220,11 @@ def _sweep_vals_kernel(
     tz = pl.program_id(2)
     x0 = tx * tile
     y0 = ty * tile
-    z0 = tz * zc
+    # single-full-z-chunk mode: the start is statically 0 (Mosaic cannot
+    # prove tz * zc lane alignment when zc % 128 != 0, but tz == 0)
+    z0 = 0 if zc == n_grid else tz * zc
     h = _HALO
-    hz = _ZHALO
+    hz = halo_z(zc)
     w = tile + 2 * h
     wz = zc + 2 * hz
     cell = box_size / n_grid
@@ -317,14 +335,15 @@ def _sweep_vals_kernel(
             out_state[c, :, :, :] = best_c[c]
 
 
-def wrap_pad(x: jax.Array, spatial_start: int) -> jax.Array:
-    """Periodic pad for the sweep kernel: x/y by _HALO, z by _ZHALO.
+def wrap_pad(x: jax.Array, spatial_start: int, hz: int = _ZHALO) -> jax.Array:
+    """Periodic pad for the sweep kernel: x/y by _HALO, z by ``hz``
+    (pass ``halo_z(zc)`` of the chunk extent the sweep will use).
     Exposed so callers invoking the kernel repeatedly can pad the
     (unchanging) seed fields once."""
     pad = [(0, 0)] * x.ndim
     pad[spatial_start] = (_HALO, _HALO)
     pad[spatial_start + 1] = (_HALO, _HALO)
-    pad[spatial_start + 2] = (_ZHALO, _ZHALO)
+    pad[spatial_start + 2] = (hz, hz)
     return jnp.pad(x, pad, mode="wrap")
 
 
@@ -434,28 +453,34 @@ def sweep_tiles_vals(
     position channels 0..2 and payload channels, with a trailing
     occupancy channel when ``has_occ``; ``seeds`` stacks ``k`` rank
     fields of the same layout, or is None for the pre-merged state-only
-    mode.  Returns the merged (C, N, N, N) state.  Same alignment
-    contract as :func:`sweep_tiles` (N % 128 == 0 for the compiled
-    path; tests run any N in interpret mode)."""
+    mode.  Returns the merged (C, N, N, N) state.  Compiled-path
+    alignment: zc % 128 == 0 chunking, or zc == N single-chunk mode
+    with the 32-cell halo for N % 128 == 64 grids (``halo_z``); tests
+    run any N in interpret mode."""
     n_ch = state.shape[0]
     n = state.shape[1]
     assert n % tile == 0, "grid must divide the tile size"
     zc = min(zc, n)
     assert n % zc == 0
+    # multi-chunk DMA starts (tz * zc) must be 128-aligned on the lane
+    # dim; zc % 128 == 64 is allowed only in single-full-z-chunk mode
+    assert zc % 128 == 0 or zc == n, (
+        f"zc={zc} needs zc % 128 == 0 unless it spans the whole z axis"
+    )
     if seeds is not None:
         assert seeds.shape[0] % n_ch == 0
         k = seeds.shape[0] // n_ch
     else:
         k = 0
     grid = (n // tile, n // tile, n // zc)
-    h, hz = _HALO, _ZHALO
+    h, hz = _HALO, halo_z(zc)
     w, wz = tile + 2 * h, zc + 2 * hz
 
-    st_p = wrap_pad(state, 1)
+    st_p = wrap_pad(state, 1, hz)
     operands = [st_p]
     scratch = [pltpu.VMEM((n_ch, w, w, wz), jnp.float32)]
     if k > 0:
-        kt_p = seeds if seeds_prepadded else wrap_pad(seeds, 1)
+        kt_p = seeds if seeds_prepadded else wrap_pad(seeds, 1, hz)
         operands.append(kt_p)
         scratch.append(pltpu.VMEM((k * n_ch, w, w, wz), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((len(operands),)))

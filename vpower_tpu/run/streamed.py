@@ -92,56 +92,176 @@ def _block_candidates(
     rho = np.asarray(particles.density, np.float32)
 
     # Vectorized membership: particle x belongs to block q along an axis
-    # iff (x + margin - q * bs) mod L < ext.  The multiples of bs inside
-    # a window of length ext number at most J = floor(ext / bs) + 1, so
-    # enumerating j in [0, J) with q_j = floor((x + margin) / bs) - j
-    # covers every (block, image) pair — O(N * J^3) instead of the m^3
-    # full passes that dominated the first 2048-range run (~10 minutes
-    # of host time at m = 8).
-    J = min(int(ext_size // block_size) + 1, m)  # cap: ext <= L
+    # iff (x + margin - q * bs) mod L < ext.  With rel0 the offset in
+    # the HIGHEST containing block (j = 0), the j-th lower block holds
+    # the particle at rel0 + j * bs < ext, so the per-axis block count
+    # is n_a = ceil((ext - rel0) / bs) capped at m (j's distinct mod m).
+    # Each particle's n_x * n_y * n_z combos expand through ONE
+    # mixed-radix np.repeat decode — a single R-row gather pass instead
+    # of J^3 masked 10M-row passes, and an int32-key radix argsort
+    # instead of int64: ~5x faster host stage than the loop it replaces
+    # (which itself replaced m^3 full passes, ~10 min at m = 8).
     y = pos + margin_phys
-    q_hi = np.floor(y / block_size).astype(np.int64)  # (N, 3)
-    q_ax = np.stack([(q_hi - j) % m for j in range(J)], axis=1)  # (N,J,3)
-    rel_ax = np.stack(
-        [(y - (q_hi - j) * block_size) % box for j in range(J)], axis=1
-    )  # (N, J, 3) position in the candidate block's extended frame
-    ok_ax = rel_ax < ext_size
+    q_hi = np.floor(y / block_size).astype(np.int32)  # (N, 3)
+    rel0 = (y - q_hi * block_size).astype(np.float32)  # in [0, bs)
+    n_ax = np.minimum(
+        np.ceil((ext_size - rel0.astype(np.float64)) / block_size)
+        .astype(np.int32),
+        m,
+    )  # (N, 3) >= 1 since ext >= bs
 
-    bid_parts, pidx_parts, rel_parts = [], [], []
-    for jx in range(J):
-        okx = ok_ax[:, jx, 0]
-        for jy in range(J):
-            okxy = okx & ok_ax[:, jy, 1]
-            for jz in range(J):
-                sel = np.flatnonzero(okxy & ok_ax[:, jz, 2])
-                if sel.size == 0:
-                    continue
-                bid = (
-                    q_ax[sel, jx, 0] * m + q_ax[sel, jy, 1]
-                ) * m + q_ax[sel, jz, 2]
-                bid_parts.append(bid)
-                pidx_parts.append(sel)
-                rel_parts.append(
-                    np.stack(
-                        [rel_ax[sel, jx, 0], rel_ax[sel, jy, 1],
-                         rel_ax[sel, jz, 2]], axis=1
-                    ).astype(np.float32)
-                )
-    bids = np.concatenate(bid_parts)
-    pidx = np.concatenate(pidx_parts)
-    rel = np.concatenate(rel_parts)
-    order = np.argsort(bids, kind="stable")
+    c = n_ax[:, 0] * n_ax[:, 1] * n_ax[:, 2]          # combos/particle
+    n = pos.shape[0]
+    total = int(c.sum())
+    pid = np.repeat(np.arange(n, dtype=np.int64), c)  # (R,)
+    base = np.zeros(n + 1, np.int64)
+    np.cumsum(c, out=base[1:])
+    r = np.arange(total, dtype=np.int64) - base[pid]  # combo rank
+    nz = n_ax[pid, 2]
+    ny = n_ax[pid, 1]
+    jz = (r % nz).astype(np.int32)
+    t = r // nz
+    jy = (t % ny).astype(np.int32)
+    jx = (t // ny).astype(np.int32)
+
+    qh = q_hi[pid]
+    bids = (
+        ((qh[:, 0] - jx) % m) * m + (qh[:, 1] - jy) % m
+    ) * m + (qh[:, 2] - jz) % m
+    rel = rel0[pid]
+    bsf = np.float32(block_size)
+    rel[:, 0] += jx.astype(np.float32) * bsf
+    rel[:, 1] += jy.astype(np.float32) * bsf
+    rel[:, 2] += jz.astype(np.float32) * bsf
+
+    order = np.argsort(bids, kind="stable")  # int32 keys -> radix sort
     bids = bids[order]
     counts = np.bincount(bids, minlength=m**3).astype(np.int64)
     pad = max(int(counts.max()), 1)
     starts = np.zeros((m**3,), np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    sel = pidx[order]
-    rows = np.empty((len(bids) + pad, 7), np.float32)
-    rows[: len(bids), :3] = rel[order]
-    rows[: len(bids), 3:6] = vel[sel]
-    rows[: len(bids), 6] = rho[sel]
-    rows[len(bids):] = 0.0
+    sel = pid[order]
+    rows = np.empty((total + pad, 7), np.float32)
+    rows[:total, :3] = rel[order]
+    rows[:total, 3:6] = vel[sel]
+    rows[:total, 6] = rho[sel]
+    rows[total:] = 0.0
+    return rows, starts, counts, pad, float(ext_size), margin_phys
+
+
+@partial(jax.jit, static_argnames=("m", "box", "block_size", "margin_phys"))
+def _cand_table(pos, vel, rho, m, box, block_size, margin_phys):
+    """Per-particle candidate table for the device-side builder:
+    ``(T (N, 12) f32 [rel0, q_hi, ny, nz, vel, rho], c (N,) i32 combo
+    counts)``.  One jit so the combo counts the expansion was sized for
+    and the ones the decode uses cannot disagree."""
+    ext_size = block_size + 2.0 * margin_phys
+    y = (pos % box) + margin_phys
+    q_hi = jnp.floor(y / block_size).astype(jnp.int32)
+    rel0 = (y - q_hi.astype(jnp.float32) * block_size).astype(jnp.float32)
+    n_ax = jnp.minimum(
+        jnp.ceil((ext_size - rel0) / block_size).astype(jnp.int32), m
+    )
+    c = n_ax[:, 0] * n_ax[:, 1] * n_ax[:, 2]
+    table = jnp.concatenate(
+        [
+            rel0,
+            q_hi.astype(jnp.float32),
+            n_ax[:, 1:3].astype(jnp.float32),
+            vel.astype(jnp.float32),
+            rho[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    return table, c
+
+
+@partial(jax.jit, static_argnames=("m", "block_size", "r_pad"))
+def _cand_expand_sort(table, c, m, block_size, r_pad):
+    """Expand each particle's combos (mixed-radix decode of a flat rank)
+    and sort rows by block id — all on device.  Returns
+    ``(rows (r_pad, 7), starts (m^3,), counts (m^3,))``.  Rows past the
+    real total carry the sentinel block id m^3: they sort to the end,
+    past every run."""
+    n = c.shape[0]
+    n_t = m**3
+    base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(c, dtype=jnp.int32)]
+    )
+    r_total = base[n]
+    i = jnp.arange(r_pad, dtype=jnp.int32)
+    # owner of row i = #particles whose combo range ends at or before i
+    # (scatter-mark + prefix sum; searchsorted would binary-search-gather
+    # 24x the rows)
+    mark = jnp.zeros((r_pad + 1,), jnp.int32).at[
+        jnp.minimum(base[1:], r_pad)
+    ].add(1)
+    pid = jnp.cumsum(mark[:r_pad])
+    valid = i < r_total
+    pidc = jnp.minimum(pid, n - 1)
+    g = table[pidc]                                  # ONE row gather
+    r = i - base[pidc]
+    ny = g[:, 6].astype(jnp.int32)
+    nz = g[:, 7].astype(jnp.int32)
+    jz = r % nz
+    t = r // nz
+    jy = t % ny
+    jx = t // ny
+    q = g[:, 3:6].astype(jnp.int32)
+    bids = (
+        ((q[:, 0] - jx) % m) * m + (q[:, 1] - jy) % m
+    ) * m + (q[:, 2] - jz) % m
+    bids = jnp.where(valid, bids, n_t).astype(jnp.int32)
+    off = jnp.stack([jx, jy, jz], 1).astype(jnp.float32) * jnp.float32(
+        block_size
+    )
+    rows_u = jnp.concatenate([g[:, :3] + off, g[:, 8:12]], axis=1)
+    sk, perm = jax.lax.sort(
+        (bids, i), num_keys=1, is_stable=True
+    )
+    rows = rows_u[perm]
+    bounds = jnp.searchsorted(sk, jnp.arange(n_t + 1, dtype=jnp.int32))
+    starts = bounds[:-1].astype(jnp.int32)
+    counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
+    return rows, starts, counts
+
+
+def _block_candidates_device(
+    particles: Particles, m: int, n_grid: int, margin_cells: int
+):
+    """Device-side :func:`_block_candidates`: same run layout, built by
+    the TPU's sort instead of host numpy (the 34M-row host build took
+    ~100 s on a 1-vCPU host; the device build is seconds).  Returns
+    ``rows`` as a DEVICE array."""
+    box = float(particles.box_size)
+    n_total = m * n_grid
+    cell = box / n_total
+    margin_phys = margin_cells * cell
+    block_size = box / m
+    ext_size = block_size + 2.0 * margin_phys
+    if ext_size > box + 1e-9 * box:
+        raise ValueError(
+            f"margin_cells={margin_cells} makes the extended block "
+            f"({ext_size:.3g}) larger than the box ({box:.3g}); at most "
+            f"one periodic image per particle is representable — lower "
+            f"the margin to <= {(box - block_size) / 2 / cell:.0f} cells."
+        )
+    table, c = _cand_table(
+        particles.pos, particles.vel, particles.density,
+        m, box, block_size, margin_phys,
+    )
+    r_total = int(jnp.sum(c))
+    # round the static expansion size up (few recompiles across runs)
+    quantum = 1 << 22 if r_total > (1 << 22) else 1024
+    r_pad = ((r_total + quantum) // quantum) * quantum  # >= total + pad
+    rows, starts_d, counts_d = _cand_expand_sort(
+        table, c, m, block_size, r_pad
+    )
+    starts = np.asarray(starts_d, np.int64)
+    counts = np.asarray(counts_d, np.int64)
+    pad = max(int(counts.max()), 1)
+    if r_total + pad > r_pad:  # every block window must stay in bounds
+        rows = jnp.pad(rows, ((0, r_total + pad - r_pad), (0, 0)))
     return rows, starts, counts, pad, float(ext_size), margin_phys
 
 
@@ -447,21 +567,31 @@ def streamed_folded_sweep(
         if margin_cells is None:
             margin_cells = max(n_grid // 4, 8)
         # the multigrid wants an even-split-friendly extended grid and
-        # the Pallas sweep a 128-multiple; round the margin up
-        n_ext = n_grid + 2 * margin_cells
-        rounder = 128 if n_ext >= 256 else 8
-        n_ext = int(np.ceil(n_ext / rounder) * rounder)
+        # the Pallas sweep a lane-aligned one: multiples of 64 up to 384
+        # (single-full-z-chunk mode), multiples of 128 beyond — pick the
+        # smallest capable size so the requested margin is not inflated
+        # (384 -> 320 is 1.7x less per-block NN work at margin 32)
+        n_raw = n_grid + 2 * margin_cells
+        if n_raw < 256:
+            n_ext = int(np.ceil(n_raw / 8) * 8)
+        else:
+            cands = []
+            for r in (64, 128):
+                ne = int(np.ceil(n_raw / r) * r)
+                if ne % 128 == 0 or ne <= 384:
+                    cands.append(ne)
+            n_ext = min(cands)
         margin_cells = (n_ext - n_grid) // 2
         if n_ext - n_grid != 2 * margin_cells:
-            n_ext += rounder
+            n_ext += 8
             margin_cells = (n_ext - n_grid) // 2
         _t0 = _time.time()
-        rows, starts, counts, pad, ext_box, _ = _block_candidates(
+        rows_d, starts, counts, pad, ext_box, _ = _block_candidates_device(
             particles, m, n_grid, margin_cells
         )
+        float(jnp.sum(rows_d[0]))  # sync so the stage time is honest
         if stage_times is not None:
             stage_times["candidates_s"] = round(_time.time() - _t0, 2)
-        rows_d = jnp.asarray(rows)
         cell_total = box / n_total
         # the extended frame covers n_ext cells of the SAME cell size
         ext_box_grid = n_ext * cell_total
