@@ -164,10 +164,12 @@ def estimate_peak_bytes(
         )
         particle_bytes = n_particles * 10 * 4  # raw arrays (scatter)
         if method == "nn":
+            from ..run.streamed import round_ext
+
             mc = margin_cells if margin_cells is not None else max(
                 n_grid // 4, 8
             )
-            n_ext = n_grid + 2 * mc
+            n_ext, _ = round_ext(n_grid, mc)  # the sweep's actual grid
             grid_bytes += n_ext**3 * _NN_BYTES_PER_CELL
             # candidate rows: Np scaled by the periodic-image/margin
             # expansion, sharded over devices, 25% imbalance slack

@@ -56,6 +56,31 @@ from ..spectrum.spectrum import PowerSpectrum, SpectrumList, init_beta_space
 __all__ = ["streamed_folded_sweep", "streamed_folded_spectrum"]
 
 
+def round_ext(n_grid: int, margin_cells: int):
+    """``(n_ext, margin_cells)``: the extended block grid for streamed
+    NN — the multigrid wants an even-split-friendly size and the Pallas
+    sweep a lane-aligned one (multiples of 64 up to 384 via the
+    single-full-z-chunk mode, multiples of 128 beyond).  Picks the
+    smallest capable size so the requested margin is not inflated
+    (margin 32 on a 256 block runs 320^3, 1.7x less NN work than
+    384^3).  Shared with the planner's streamed memory model."""
+    n_raw = n_grid + 2 * margin_cells
+    if n_raw < 256:
+        n_ext = int(np.ceil(n_raw / 8) * 8)
+    else:
+        n_ext = min(
+            ne
+            for r in (64, 128)
+            for ne in (int(np.ceil(n_raw / r) * r),)
+            if ne % 128 == 0 or ne <= 384
+        )
+    margin_cells = (n_ext - n_grid) // 2
+    if n_ext - n_grid != 2 * margin_cells:
+        n_ext += 8
+        margin_cells = (n_ext - n_grid) // 2
+    return n_ext, margin_cells
+
+
 # ---------------------------------------------------------------------- #
 # host-side per-block candidate runs (NN gather path)                    #
 # ---------------------------------------------------------------------- #
@@ -566,25 +591,7 @@ def streamed_folded_sweep(
     if method == "nn":
         if margin_cells is None:
             margin_cells = max(n_grid // 4, 8)
-        # the multigrid wants an even-split-friendly extended grid and
-        # the Pallas sweep a lane-aligned one: multiples of 64 up to 384
-        # (single-full-z-chunk mode), multiples of 128 beyond — pick the
-        # smallest capable size so the requested margin is not inflated
-        # (384 -> 320 is 1.7x less per-block NN work at margin 32)
-        n_raw = n_grid + 2 * margin_cells
-        if n_raw < 256:
-            n_ext = int(np.ceil(n_raw / 8) * 8)
-        else:
-            cands = []
-            for r in (64, 128):
-                ne = int(np.ceil(n_raw / r) * r)
-                if ne % 128 == 0 or ne <= 384:
-                    cands.append(ne)
-            n_ext = min(cands)
-        margin_cells = (n_ext - n_grid) // 2
-        if n_ext - n_grid != 2 * margin_cells:
-            n_ext += 8
-            margin_cells = (n_ext - n_grid) // 2
+        n_ext, margin_cells = round_ext(n_grid, margin_cells)
         _t0 = _time.time()
         rows_d, starts, counts, pad, ext_box, _ = _block_candidates_device(
             particles, m, n_grid, margin_cells
