@@ -101,6 +101,32 @@ def test_streamed_nn_velocity_full_sweep_vs_unfolded():
                                rtol=2e-4, atol=1e-30)
 
 
+def test_streamed_exact_window_path_vs_unfolded():
+    """exact=True with a window-capable extended grid (n_ext % 64 == 0)
+    routes blocks through the provably-exact window sweep; the full
+    beta sweep must reconstruct the unfolded spectrum of the global
+    exact deposition."""
+    key = jax.random.PRNGKey(13)
+    n_grid, m = 32, 2
+    n_total = n_grid * m
+    particles = synthetic_particles(key, 14, box_size=1.0, jitter=0.5)
+    # margin 16 -> n_ext = 64: the window route (asserted below)
+    from vpower_tpu.run.streamed import round_ext
+
+    n_ext, mc = round_ext(n_grid, 16)
+    assert n_ext % 64 == 0
+    field = nn_interp_to_field(particles, n_total, exact=True)
+    s_direct = spectrum_from_field(field, quantity="velocity")
+    combined = streamed_folded_spectrum(
+        particles, n_grid, m, quantity="velocity", method="nn",
+        margin_cells=16, exact=True,
+    )
+    n = min(len(combined), len(s_direct))
+    np.testing.assert_allclose(combined.Nsample[:n], s_direct.Nsample[:n])
+    np.testing.assert_allclose(combined.Psum[:n], s_direct.Psum[:n],
+                               rtol=2e-4, atol=1e-30)
+
+
 def test_block_nn_assignment_matches_brute_force():
     """The per-block extended-frame NN (open-box distances on unwrapped
     periodic images, padding masked) reproduces the global periodic

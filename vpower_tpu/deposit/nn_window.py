@@ -144,14 +144,15 @@ def _flat_tile(tt, nt):
 
 
 @partial(jax.jit, static_argnames=("n_grid", "zc", "h", "periodic"))
-def _tier1_count(pos_c, n_grid, zc, h, periodic):
+def _tier1_count(pos_c, n_grid, zc, h, periodic, valid_rows=None):
     nt = _ntiles(n_grid, zc)
     _, pt, off = _cells_tiles(pos_c, n_grid, zc)
     quals, _ = _axis_quals(off, h, zc)
     total = jnp.zeros((), jnp.int32)
     for j in range(8):
         use = (j & 1, (j >> 1) & 1, (j >> 2) & 1)
-        valid = jnp.ones(pos_c.shape[0], bool)
+        valid = (jnp.ones(pos_c.shape[0], bool) if valid_rows is None
+                 else valid_rows)
         for a in range(3):
             if use[a]:
                 valid = valid & quals[a]
@@ -166,7 +167,7 @@ def _tier1_count(pos_c, n_grid, zc, h, periodic):
 @partial(jax.jit, static_argnames=(
     "n_grid", "zc", "h", "periodic", "n_rows", "apply_shift"))
 def _tier1_build(pos_c, payload, n_grid, zc, h, periodic, n_rows,
-                 apply_shift):
+                 apply_shift, valid_rows=None):
     """rows (8, n_rows) f32 + spans (T,) s0/s1.  ``apply_shift`` bakes
     periodic images into the coordinates (wrap-free kernel); with the
     min-image kernel variant it is left off."""
@@ -179,7 +180,7 @@ def _tier1_build(pos_c, payload, n_grid, zc, h, periodic, n_rows,
     keys = []
     for j in range(8):
         use = (j & 1, (j >> 1) & 1, (j >> 2) & 1)
-        valid = jnp.ones(np_, bool)
+        valid = jnp.ones(np_, bool) if valid_rows is None else valid_rows
         tt = []
         for a in range(3):
             if use[a]:
@@ -315,7 +316,8 @@ def _tier2_build(pos_c, payload, sel, selv, h_tile, h1,
 
 
 @partial(jax.jit, static_argnames=("n_grid", "zc", "n_rows"))
-def _passc_build(pos_c, payload, h_tile, n_grid, zc, n_rows):
+def _passc_build(pos_c, payload, h_tile, n_grid, zc, n_rows,
+                 valid_rows=None):
     """Full-array spans for tiles needing halo > 8: every particle is a
     candidate; the kernel applies minimum-image wrapping itself."""
     nt = _ntiles(n_grid, zc)
@@ -331,7 +333,10 @@ def _passc_build(pos_c, payload, h_tile, n_grid, zc, n_rows):
     rows = jnp.stack(chans)
     rows = jnp.pad(rows, ((0, 0), (0, pad)))
     lane = jnp.arange(n_rows)
-    rows = rows.at[:3].set(jnp.where(lane[None, :] < np_, rows[:3], far))
+    real = lane[None, :] < np_
+    if valid_rows is not None:
+        real = real & jnp.pad(valid_rows, (0, pad))[None, :]
+    rows = rows.at[:3].set(jnp.where(real, rows[:3], far))
     s1 = jnp.where(h_tile > _H2_CAP, np_, 0).astype(jnp.int32)
     s0 = jnp.zeros((n_t,), jnp.int32)
     return rows, s0, s1
@@ -533,6 +538,7 @@ def nn_window_gather(
     box_size: float,
     periodic: bool = True,
     impl: Optional[str] = None,
+    valid: Optional[jax.Array] = None,
 ):
     """Exact NN payload per cell: ``(payload (V, N, N, N), d2 (N, N, N)
     physical units, occ scalar)``.
@@ -545,6 +551,10 @@ def nn_window_gather(
     ``impl``: 'pallas' (TPU), 'xla' (any backend; same semantics), or
     'interpret' (Pallas interpret mode, small tests only).  Default
     picks pallas on accelerators, xla on CPU.
+
+    ``valid``: optional (Np,) bool mask — invalid rows never become
+    candidates (fixed-shape padded inputs, e.g. the streamed pipeline's
+    per-block candidate windows).
     """
     from .nn import nn_gather_grid
 
@@ -566,7 +576,7 @@ def nn_window_gather(
     # HBM, the difference between 512^3 fitting one chip and not.
     _, occ, d2_seed = nn_gather_grid(
         pos, jnp.zeros((pos.shape[0], 0), jnp.float32), n_grid, box_size,
-        periodic=periodic, return_d2=True,
+        periodic=periodic, return_d2=True, valid=valid,
     )
     pos_c, d2_c = _to_cells(pos, d2_seed, n_grid, float(box_size))
     h_tile = _h_required(d2_c, n_grid, zc)
@@ -596,11 +606,12 @@ def nn_window_gather(
     # wrap-free rows need unambiguous image inference: >= 3 tiles/axis
     kernel_wrap = periodic and min(nt) < 3
 
-    total1 = int(_tier1_count(pos_c, n_grid, zc, h1, periodic))
+    total1 = int(_tier1_count(pos_c, n_grid, zc, h1, periodic,
+                              valid_rows=valid))
     n_rows1 = _round_rows(total1)
     rows1, s0, s1 = _tier1_build(
         pos_c, vals, n_grid, zc, h1, periodic, n_rows1,
-        apply_shift=periodic and not kernel_wrap,
+        apply_shift=periodic and not kernel_wrap, valid_rows=valid,
     )
     # seed state: zero payload + nudged d2.  The nudge makes the true
     # NN (d2_true <= d2_seed) win the strict-< compare at EVERY cell,
@@ -617,6 +628,8 @@ def nn_window_gather(
     n_flag = int(jnp.sum((h_tile > h1) & (h_tile <= _H2_CAP)))
     if n_flag > 0:
         near = _tier2_near(pos_c, h_tile, h1, n_grid, zc)
+        if valid is not None:
+            near = near & valid
         n_near = int(jnp.sum(near))
         if n_near > 0:
             n_sub = min(_round_rows(n_near), pos.shape[0])
@@ -633,7 +646,7 @@ def nn_window_gather(
     if n_flag2 > 0:
         n_rows3 = _round_rows(pos.shape[0])
         rows3, s0c, s1c = _passc_build(
-            pos_c, vals, h_tile, n_grid, zc, n_rows3
+            pos_c, vals, h_tile, n_grid, zc, n_rows3, valid_rows=valid
         )
         state = run_pass(s0c, s1c, rows3, state, periodic)
 

@@ -293,6 +293,40 @@ def _block_candidates_device(
 # ---------------------------------------------------------------------- #
 # per-block full-resolution field values                                 #
 # ---------------------------------------------------------------------- #
+def _quantity_vals(vel, rho, cell, quantity):
+    """Per-particle payload channels for a derived quantity (reference
+    semantics: mass = rho * Lcell^3, ``interp.py:273``)."""
+    if quantity == "velocity":
+        return vel
+    if quantity == "momentum":
+        return vel * (rho[:, None] * cell**3)
+    if quantity == "energy":
+        return (rho * cell**3 * jnp.sum(vel**2, axis=1))[:, None]
+    raise ValueError(f"Unsupported quantity {quantity!r}")
+
+
+def _nn_block_values_exact(
+    cand, count, n_grid, n_ext, margin_cells, ext_box, cell, quantity
+):
+    """Provably-exact variant of :func:`_nn_block_values` — routes the
+    block through the sorted-segment window sweep
+    (:func:`vpower_tpu.deposit.nn_window.nn_window_gather`), exact
+    among the block's candidates (i.e. exact wherever the true NN lies
+    within the margin — the block-candidate contract).  Host-orchestrated
+    (the sweep's tier decisions sync), so NOT jitted."""
+    from ..deposit.nn_window import nn_window_gather
+
+    pos = cand[:, :3]
+    valid = jnp.arange(cand.shape[0], dtype=jnp.int32) < count
+    vals = _quantity_vals(cand[:, 3:6], cand[:, 6], cell, quantity)
+    pay, _, occ = nn_window_gather(
+        pos, vals, n_ext, ext_box, periodic=False, valid=valid,
+    )
+    sl = slice(margin_cells, margin_cells + n_grid)
+    n_ch = pay.shape[0]
+    return jnp.where(occ > 0.5, pay[:, sl, sl, sl], 0.0).reshape(
+        n_ch, n_grid**3
+    )
 @partial(
     jax.jit,
     static_argnames=(
@@ -326,14 +360,7 @@ def _nn_block_values(
     sl = slice(margin_cells, margin_cells + n_grid)
 
     if not exact:
-        if quantity == "velocity":
-            vals = vel
-        elif quantity == "momentum":
-            vals = vel * (rho[:, None] * cell**3)
-        elif quantity == "energy":
-            vals = (rho * cell**3 * jnp.sum(vel**2, axis=1))[:, None]
-        else:
-            raise ValueError(f"Unsupported quantity {quantity!r}")
+        vals = _quantity_vals(vel, rho, cell, quantity)
         g, occ = nn_gather_grid(
             pos, vals, n_ext, ext_box, periodic=False, valid=valid,
         )
@@ -605,10 +632,21 @@ def streamed_folded_sweep(
         if ext_box_grid < ext_box - 1e-9:
             raise AssertionError("extended grid smaller than candidate box")
 
+        # exact mode goes through the provably-exact window sweep where
+        # its tiling fits; other extended sizes keep the jitted
+        # ring-refine path
+        window_exact = exact and n_ext % 64 == 0
+
         def block_values(q: int) -> jax.Array:
             cand = jax.lax.dynamic_slice(
                 rows_d, (int(starts[q]), 0), (pad, 7)
             )
+            if window_exact:
+                return _nn_block_values_exact(
+                    cand, jnp.int32(counts[q]), n_grid, n_ext,
+                    margin_cells, float(ext_box_grid), float(cell_total),
+                    quantity,
+                )
             return _nn_block_values(
                 cand, jnp.int32(counts[q]), n_grid, n_ext, margin_cells,
                 float(ext_box_grid), float(cell_total), quantity, exact,
