@@ -86,6 +86,14 @@ def main(argv=None):
     t, _ = timed(jax.jit(lambda p: nn_assign(p, N, 1.0)), pos)
     report("nn_assign", t, N**3, "queries")
 
+    if N % 64 == 0:
+        from vpower_tpu.deposit.nn_window import nn_window_gather
+
+        t, _ = timed(
+            lambda p, v: nn_window_gather(p, v, N, 1.0)[0], pos, values
+        )  # host-orchestrated (tier syncs) -- not jittable as a whole
+        report("nn_exact_window", t, N**3, "queries")
+
     v_grid = jax.random.normal(jax.random.PRNGKey(1), (3, N, N, N), jnp.float32)
     t, _ = timed(jax.jit(lambda v: vector_power(v, 1.0)), v_grid)
     report("vector_power_3xFFT", t, 3 * N**3, "modes")
