@@ -301,6 +301,134 @@ int brick_read(const char* path, float* out, long long n_floats) {
   return got == (size_t)n_floats ? 0 : -1;
 }
 
+// ---------------------------------------------------------------------
+// Streamed-pipeline block candidate runs (threaded counting sort)
+// ---------------------------------------------------------------------
+// Host-side builder for the distributed block-streamed folded pipeline
+// (vpower_tpu/run/streamed.py:_block_candidates): sort particle rows
+// [rel_xyz, vel, rho] into m^3 per-block runs, including every particle
+// within margin_phys of a block (periodic images unwrapped into the
+// block's extended open-box frame).  Counterpart of the reference's
+// per-rank particle handling (scripts/parallel_optimized.py:272-313 —
+// which replicated the FULL snapshot per rank instead).
+//
+// Two-call protocol: rows == NULL fills counts[m^3] and returns the
+// total row count R; the second call (rows sized >= R rows of 7 floats)
+// writes the block-sorted rows and starts[m^3].  OpenMP counting sort:
+// per-thread block histograms -> exclusive prefix over (block, thread)
+// -> each thread streams its contiguous particle range directly to
+// final positions.  Row order within a run is (particle, image-combo)
+// ascending for a fixed thread count — the same order as the numpy
+// builder's stable argsort.
+
+long long block_candidates(const float* pos, const float* vel,
+                           const float* rho, long long n, int m,
+                           double box, double margin_phys, float* rows,
+                           long long* starts, long long* counts) {
+  const int n_t = m * m * m;
+  const double bs = box / m;
+  const double ext = bs + 2.0 * margin_phys;
+  if (ext > box * (1.0 + 1e-9) || n_t <= 0) return -1;
+
+  int nthreads = 1;
+#pragma omp parallel
+  {
+#pragma omp single
+    nthreads = omp_get_num_threads();
+  }
+  // per-thread histograms: hist[t * n_t + b]
+  std::vector<long long> hist((size_t)nthreads * n_t, 0);
+
+  // pass 1: count rows per (thread, block)
+#pragma omp parallel
+  {
+    const int t = omp_get_thread_num();
+    long long* h = hist.data() + (size_t)t * n_t;
+#pragma omp for schedule(static)
+    for (long long i = 0; i < n; i++) {
+      double y[3];
+      int qh[3], na[3];
+      for (int a = 0; a < 3; a++) {
+        double p = std::fmod((double)pos[i * 3 + a], box);
+        if (p < 0) p += box;
+        y[a] = p + margin_phys;
+        qh[a] = (int)std::floor(y[a] / bs);
+        // round rel0 through float first — bit-parity with the numpy
+        // builder (rel0 = float32(y - qh*bs) there)
+        double rel0 = (double)(float)(y[a] - qh[a] * bs);
+        int k = (int)std::ceil((ext - rel0) / bs);
+        na[a] = k < m ? k : m;
+      }
+      for (int jx = 0; jx < na[0]; jx++)
+        for (int jy = 0; jy < na[1]; jy++)
+          for (int jz = 0; jz < na[2]; jz++) {
+            int bx = ((qh[0] - jx) % m + m) % m;
+            int by = ((qh[1] - jy) % m + m) % m;
+            int bz = ((qh[2] - jz) % m + m) % m;
+            h[(bx * m + by) * m + bz]++;
+          }
+    }
+  }
+
+  long long total = 0;
+  for (int b = 0; b < n_t; b++) {
+    long long cb = 0;
+    for (int t = 0; t < nthreads; t++) cb += hist[(size_t)t * n_t + b];
+    if (counts) counts[b] = cb;
+    total += cb;
+  }
+  if (!rows) return total;
+
+  // exclusive prefix over (block major, thread minor) -> write cursors
+  std::vector<long long> cursor((size_t)nthreads * n_t);
+  long long run = 0;
+  for (int b = 0; b < n_t; b++) {
+    if (starts) starts[b] = run;
+    for (int t = 0; t < nthreads; t++) {
+      cursor[(size_t)t * n_t + b] = run;
+      run += hist[(size_t)t * n_t + b];
+    }
+  }
+
+  // pass 2: stream rows to their final positions
+#pragma omp parallel
+  {
+    const int t = omp_get_thread_num();
+    long long* cur = cursor.data() + (size_t)t * n_t;
+#pragma omp for schedule(static)
+    for (long long i = 0; i < n; i++) {
+      double y[3], rel0[3];
+      int qh[3], na[3];
+      for (int a = 0; a < 3; a++) {
+        double p = std::fmod((double)pos[i * 3 + a], box);
+        if (p < 0) p += box;
+        y[a] = p + margin_phys;
+        qh[a] = (int)std::floor(y[a] / bs);
+        rel0[a] = (double)(float)(y[a] - qh[a] * bs);
+        int k = (int)std::ceil((ext - rel0[a]) / bs);
+        na[a] = k < m ? k : m;
+      }
+      for (int jx = 0; jx < na[0]; jx++)
+        for (int jy = 0; jy < na[1]; jy++)
+          for (int jz = 0; jz < na[2]; jz++) {
+            int bx = ((qh[0] - jx) % m + m) % m;
+            int by = ((qh[1] - jy) % m + m) % m;
+            int bz = ((qh[2] - jz) % m + m) % m;
+            long long at = cur[(bx * m + by) * m + bz]++;
+            float* r = rows + at * 7;
+            r[0] = (float)(rel0[0]) + (float)jx * (float)bs;
+            r[1] = (float)(rel0[1]) + (float)jy * (float)bs;
+            r[2] = (float)(rel0[2]) + (float)jz * (float)bs;
+            r[3] = vel[i * 3 + 0];
+            r[4] = vel[i * 3 + 1];
+            r[5] = vel[i * 3 + 2];
+            r[6] = rho[i];
+          }
+    }
+  }
+  return total;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------

@@ -25,6 +25,7 @@ __all__ = [
     "BrickPrefetcher",
     "brick_write_raw",
     "brick_read_raw",
+    "block_candidates_host",
 ]
 
 
@@ -96,6 +97,12 @@ def _load() -> ctypes.CDLL:
     lib.nn_exact.restype = ctypes.c_int
     lib.nn_exact.argtypes = [
         f32p, c_ll, f32p, c_ll, ctypes.c_double, ctypes.c_int, i64p,
+    ]
+    lib.block_candidates.restype = c_ll
+    lib.block_candidates.argtypes = [
+        f32p, f32p, f32p, c_ll, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
     _lib = lib
     return lib
@@ -273,3 +280,42 @@ def brick_read_raw(path: str, n_floats: int) -> np.ndarray:
     if lib.brick_read(path.encode(), out, n_floats) != 0:
         raise IOError(f"failed to read brick {path!r}")
     return out
+
+
+def block_candidates_host(
+    pos: np.ndarray,
+    vel: np.ndarray,
+    rho: np.ndarray,
+    m: int,
+    box: float,
+    margin_phys: float,
+):
+    """Threaded native build of the streamed pipeline's per-block
+    candidate runs (see ``run/streamed.py:_block_candidates`` for the
+    layout contract).  Returns ``(rows (R + pad, 7) f32, starts (m^3,),
+    counts (m^3,), pad)``."""
+    lib = _load()
+    pos = np.ascontiguousarray(pos, np.float32)
+    vel = np.ascontiguousarray(vel, np.float32)
+    rho = np.ascontiguousarray(rho, np.float32)
+    n = pos.shape[0]
+    n_t = m**3
+    counts = np.zeros((n_t,), np.int64)
+    total = lib.block_candidates(
+        pos, vel, rho, n, m, float(box), float(margin_phys),
+        None, None, counts.ctypes.data_as(ctypes.c_void_p),
+    )
+    if total < 0:
+        raise ValueError("block_candidates: margin exceeds the box")
+    pad = max(int(counts.max()), 1)
+    rows = np.zeros((total + pad, 7), np.float32)
+    starts = np.zeros((n_t,), np.int64)
+    got = lib.block_candidates(
+        pos, vel, rho, n, m, float(box), float(margin_phys),
+        rows.ctypes.data_as(ctypes.c_void_p),
+        starts.ctypes.data_as(ctypes.c_void_p),
+        None,
+    )
+    if got != total:
+        raise RuntimeError("block_candidates: pass disagreement")
+    return rows, starts, counts, pad

@@ -116,6 +116,19 @@ def _block_candidates(
     vel = np.asarray(particles.vel, np.float32)
     rho = np.asarray(particles.density, np.float32)
 
+    # threaded native builder where the host runtime is available
+    # (row-parity with the numpy path below; order within a run can
+    # permute with the thread count — min-compares downstream are
+    # order-free up to exact ties)
+    from ..io import native as _native
+
+    if _native.native_available():
+        rows, starts, counts, pad = _native.block_candidates_host(
+            np.asarray(particles.pos, np.float32), vel, rho,
+            m, box, margin_phys,
+        )
+        return rows, starts, counts, pad, float(ext_size), margin_phys
+
     # Vectorized membership: particle x belongs to block q along an axis
     # iff (x + margin - q * bs) mod L < ext.  With rel0 the offset in
     # the HIGHEST containing block (j = 0), the j-th lower block holds
