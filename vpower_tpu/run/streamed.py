@@ -271,6 +271,13 @@ def _block_candidates_device(
     the TPU's sort instead of host numpy (the 34M-row host build took
     ~100 s on a 1-vCPU host; the device build is seconds).  Returns
     ``rows`` as a DEVICE array."""
+    if jax.default_backend() == "cpu":
+        # lax.sort is single-threaded on CPU; the host builder (native
+        # where available) is the faster path there
+        rows, starts, counts, pad, ext_size, margin_phys = \
+            _block_candidates(particles, m, n_grid, margin_cells)
+        return (jnp.asarray(rows), starts, counts, pad, ext_size,
+                margin_phys)
     box = float(particles.box_size)
     n_total = m * n_grid
     cell = box / n_total
