@@ -125,6 +125,20 @@ def test_cli_streamed_folded_nn(tmp_path, snapshot):
     assert pk[:, 3].sum() > 0
 
 
+def test_cli_streamed_folded_nn_exact(tmp_path, snapshot):
+    """--exact routes the streamed NN blocks through the provably-exact
+    window sweep (reference library eps=0 semantics from the production
+    entry point — beyond the reference CLI's approximate Annoy)."""
+    out = str(tmp_path / "outx")
+    os.makedirs(out)
+    rc = main(["-i", snapshot, "-o", out, "-N", "32", "-M", "16", "-f",
+               "--method", "nn", "--quantity", "velocity", "--margin", "8",
+               "--exact", "--single-chip"])
+    assert rc == 0
+    pk = np.loadtxt(os.path.join(out, "Pk.txt"))
+    assert pk[:, 3].sum() > 0
+
+
 def test_cli_folded_sph_streams(tmp_path, snapshot):
     """Folded sph runs through the block-streamed pipeline (round-1
     rejected it; the streamed scatter now supports sph footprints)."""

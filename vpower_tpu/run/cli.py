@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--beta-batch", type=int, default=4,
                    help="Betas accumulated per streamed block pass "
                    "(memory: this many folded cubes live at once).")
+    p.add_argument("--exact", action="store_true",
+                   help="provably-exact NN deposition (the window "
+                        "sweep; reference library eps=0 semantics) "
+                        "instead of the fast Voronoi descent")
     p.add_argument("--margin", type=int, default=None,
                    help="NN candidate margin in full-res cells for "
                    "streamed folded runs (default: n_grid / 4).")
@@ -266,6 +270,7 @@ def main(argv=None) -> int:
                     quantity=args.quantity, method=args.method,
                     beta_sequence=np.asarray(pending, np.int64),
                     beta_batch=args.beta_batch, margin_cells=args.margin,
+                    exact=args.exact,
                     on_spectrum=checkpoint,
                 )
             else:
@@ -274,6 +279,7 @@ def main(argv=None) -> int:
                     quantity=args.quantity, method=args.method,
                     beta_sequence=np.asarray(pending, np.int64),
                     beta_batch=args.beta_batch, margin_cells=args.margin,
+                    exact=args.exact,
                     on_spectrum=checkpoint,
                 )
         _maybe_splice(particles, plan, args, mesh, outputfile)
@@ -340,8 +346,11 @@ def _one_beta(particles, plan, args, mesh, beta):
             quantity=args.quantity, fold=fold,
         )
     if beta is None:
+        kw = {"exact": True} if (args.method == "nn"
+                                 and getattr(args, "exact", False)) else {}
         return power_spectrum(
-            particles, plan.n_grid, method=args.method, quantity=args.quantity
+            particles, plan.n_grid, method=args.method,
+            quantity=args.quantity, **kw,
         )
     # folded momentum with a scatter method: fused fold (gather methods
     # and derived quantities were routed to the streamed pipeline in
