@@ -346,7 +346,7 @@ def _passc_build(pos_c, payload, h_tile, n_grid, zc, n_rows,
 # the kernel                                                             #
 # ---------------------------------------------------------------------- #
 def _window_kernel(s0v, s1v, rows_hbm, state_in, out, chunk_buf, sem, *,
-                   nt, zc, n_pay, n_grid, wrap):
+                   nt, zc, n_pay, n_grid, wrap, smem_rows=False):
     tx = pl.program_id(0)
     ty = pl.program_id(1)
     tz = pl.program_id(2)
@@ -379,17 +379,23 @@ def _window_kernel(s0v, s1v, rows_hbm, state_in, out, chunk_buf, sem, *,
         k0 = jnp.maximum(s0 - base, 0)
         k1 = jnp.minimum(s1 - base, CHUNK)
 
-        def ext(c, m):
+        def ext(c, m, k):
+            # candidate-row channel c of lane k: direct scalar read when
+            # the chunk sits in SMEM (dynamic lane-dim scalar reads from
+            # VMEM are rejected by Mosaic), else the lane-mask
+            # select + full reduce
+            if smem_rows:
+                return chunk_buf[c, k]
             return jnp.max(
                 jnp.where(m, chunk_buf[c:c + 1, :], jnp.float32(-3e38))
             )
 
         def cand_body(k, carry2):
             bd = carry2[-1]
-            m = lane == k
-            dx = qx - ext(0, m)
-            dy = qy - ext(1, m)
-            dz = qz - ext(2, m)
+            m = None if smem_rows else (lane == k)
+            dx = qx - ext(0, m, k)
+            dy = qy - ext(1, m, k)
+            dz = qz - ext(2, m, k)
             if wrap:
                 dx = dx - n_f * jnp.round(dx * inv_n)
                 dy = dy - n_f * jnp.round(dy * inv_n)
@@ -397,7 +403,7 @@ def _window_kernel(s0v, s1v, rows_hbm, state_in, out, chunk_buf, sem, *,
             d2 = dx * dx + dy * dy + dz * dz
             take = d2 < bd
             new_pay = tuple(
-                jnp.where(take, ext(3 + c, m), carry2[c])
+                jnp.where(take, ext(3 + c, m, k), carry2[c])
                 for c in range(n_pay)
             )
             return new_pay + (jnp.where(take, d2, bd),)
@@ -411,13 +417,17 @@ def _window_kernel(s0v, s1v, rows_hbm, state_in, out, chunk_buf, sem, *,
 
 
 @partial(jax.jit, static_argnames=(
-    "n_grid", "zc", "n_pay", "wrap", "interpret"))
+    "n_grid", "zc", "n_pay", "wrap", "interpret", "smem_rows"))
 def window_pass(s0, s1, rows, state, *, n_grid, zc, n_pay, wrap,
-                interpret=False):
+                interpret=False, smem_rows=False):
     """One span-scan pass: returns the min-merged (n_pay + 1, N, N, N)
     state ([payload..., d2], cell units).  Chain passes by feeding the
-    output back as ``state``."""
+    output back as ``state``.  ``smem_rows`` stages each candidate
+    chunk in SMEM and reads rows as scalars instead of the lane-mask
+    select + reduce (pending hardware measurement — flip the default
+    once timed)."""
     nt = _ntiles(n_grid, zc)
+    chunk_space = (pltpu.SMEM if smem_rows else pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=nt,
@@ -432,7 +442,7 @@ def window_pass(s0, s1, rows, state, *, n_grid, zc, n_pay, wrap,
             (n_pay + 1, TILE, TILE, zc), lambda i, j, l, a, b: (0, i, j, l)
         ),
         scratch_shapes=[
-            pltpu.VMEM((8, CHUNK), jnp.float32),
+            chunk_space((8, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -440,6 +450,7 @@ def window_pass(s0, s1, rows, state, *, n_grid, zc, n_pay, wrap,
         partial(
             _window_kernel,
             nt=nt, zc=zc, n_pay=n_pay, n_grid=n_grid, wrap=wrap,
+            smem_rows=smem_rows,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
