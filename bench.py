@@ -48,7 +48,32 @@ def pipeline(particles):
     return shell_bin(p_grid, BOX)
 
 
+def _device_watchdog(first_op_timeout=240.0):
+    """Fail fast if the accelerator is unreachable (a dead remote-TPU
+    tunnel makes the first op block forever — INSIDE a C call holding
+    the GIL, so an in-process timer thread cannot fire; a hang is worse
+    for the driver than an error).  Probes in a subprocess."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print(float(jnp.sum(jnp.ones((128,)))))"],
+            timeout=first_op_timeout, check=False, capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench.py: device unresponsive for {first_op_timeout:.0f}s "
+            f"— aborting instead of hanging",
+            file=sys.stderr, flush=True,
+        )
+        sys.exit(3)
+
+
 def main():
+    _device_watchdog()
     particles = make_workload()
     # Force materialization of inputs before timing.
     float(jnp.sum(particles.pos[:, 0]))
