@@ -84,13 +84,7 @@ def distributed_streamed_sweep(
     if method == "nn":
         if margin_cells is None:
             margin_cells = max(n_grid // 4, 8)
-        n_ext = n_grid + 2 * margin_cells
-        rounder = 128 if n_ext >= 256 else 8
-        n_ext = int(np.ceil(n_ext / rounder) * rounder)
-        margin_cells = (n_ext - n_grid) // 2
-        if n_ext - n_grid != 2 * margin_cells:
-            n_ext += rounder
-            margin_cells = (n_ext - n_grid) // 2
+        n_ext, margin_cells = run_streamed.round_ext(n_grid, margin_cells)
         rows, starts, counts, pad, ext_box, _ = \
             run_streamed._block_candidates(
                 particles, m, n_grid, margin_cells
