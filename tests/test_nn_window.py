@@ -107,6 +107,28 @@ def test_payload_matches_oracle_gather():
         )
 
 
+def test_valid_mask_equals_subset():
+    """nn_window_gather(valid=mask) == nn_window_gather on the compacted
+    valid subset — invalid rows never become candidates (the streamed
+    pipeline's padded-window contract)."""
+    key = jax.random.PRNGKey(17)
+    pos = jax.random.uniform(key, (3000, 3), jnp.float32)
+    vals = jax.random.normal(jax.random.fold_in(key, 1), (3000, 2)).astype(
+        jnp.float32
+    )
+    mask = jax.random.bernoulli(jax.random.fold_in(key, 2), 0.5, (3000,))
+    pa, d2a, oa = nn_window_gather(pos, vals, 64, 1.0, impl="xla",
+                                   valid=mask)
+    sel = np.flatnonzero(np.asarray(mask))
+    pb, d2b, ob = nn_window_gather(pos[sel], vals[sel], 64, 1.0,
+                                   impl="xla")
+    assert float(oa) == float(ob) == 1.0
+    np.testing.assert_allclose(np.asarray(d2a), np.asarray(d2b),
+                               rtol=1e-6, atol=1e-9)
+    same = np.asarray(pa) == np.asarray(pb)
+    assert same.mean() > 0.9999  # ties only
+
+
 def test_d2_seed_is_upper_bound():
     """The d2-only descent (zero payload channels) returns a valid
     upper bound on the true NN distance at every cell — the property
