@@ -87,3 +87,31 @@ def test_end_to_end_f32_vs_f64_mirror_dense_shells():
     sel = nsamp > 0
     rel = np.abs(s.P[sel] - P[sel]) / np.abs(P[sel])
     assert rel.max() < 1e-6, f"max rel err {rel.max():.2e}"
+
+
+def test_golden_grf_slope_recovery():
+    """SURVEY §4(b) golden test: particles sampled from a Gaussian
+    random velocity field with known P(k) ~ k^(-11/3) recover the input
+    slope through the FULL pipeline (NN deposit -> FFT power -> shell
+    binning).  The binned quantity is the energy spectral density
+    4*pi*k^2*P, so the expected log-log slope is -11/3 + 2 = -5/3."""
+    import jax
+
+    from vpower_tpu import power_spectrum
+    from vpower_tpu.io.synthetic import (
+        gaussian_random_field, grid_positions, particles_from_field,
+    )
+
+    key = jax.random.PRNGKey(5)
+    kf, kp = jax.random.split(key)
+    field = gaussian_random_field(kf, 64, 1.0, spectral_index=-11.0 / 3.0)
+    pos = grid_positions(48, 1.0, key=kp, jitter=1.0)
+    particles = particles_from_field(field, 1.0, pos)
+    s = power_spectrum(particles, 64, method="nn", quantity="velocity")
+    k = np.asarray(s.k)
+    P = np.asarray(s.P)
+    band = (k > 2 * 2 * np.pi) & (k < 12 * 2 * np.pi) & (P > 0)
+    slope = np.polyfit(np.log(k[band]), np.log(P[band]), 1)[0]
+    # inertial band, below the NN-window damping scale; tolerance covers
+    # sampling noise of one realization (measured -1.70 at this seed)
+    assert abs(slope + 5.0 / 3.0) < 0.15, slope
