@@ -26,7 +26,6 @@ periodic-image-expanded candidate runs.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import numpy as np
