@@ -59,7 +59,13 @@ def distributed_streamed_sweep(
     parallel.  Requires ``m**3 % n_devices == 0`` (whole blocks per
     device).  Results are identical to the single-chip
     :func:`~vpower_tpu.run.streamed.streamed_folded_sweep` (same block
-    values, same accumulation order per device batch up to the psum)."""
+    values, same accumulation order per device batch up to the psum).
+
+    ``exact=True`` here uses the jittable ring-refine exact path (the
+    block loop runs inside ``shard_map``); the provably-exact window
+    sweep is host-orchestrated and therefore single-chip-only
+    (:func:`~vpower_tpu.run.streamed.streamed_folded_sweep` with
+    ``exact=True``)."""
     devs = np.asarray(mesh.devices).reshape(-1)
     ndev = devs.size
     flat_mesh = Mesh(devs, ("b",))
