@@ -117,6 +117,10 @@ def test_plotting_smoke(tmp_path):
     peek_spectrum(s, save_to=str(tmp_path / "spec.png"))
     assert (tmp_path / "field.png").exists()
     assert (tmp_path / "spec.png").exists()
+    # object-level delegators (reference spctrm.py:176/193 ergonomics)
+    s.peek(save_to=str(tmp_path / "peek2.png"))
+    s.plot()
+    assert (tmp_path / "peek2.png").exists()
 
 
 def test_planner_calibration_roundtrip(tmp_path, monkeypatch):

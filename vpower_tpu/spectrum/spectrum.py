@@ -261,6 +261,22 @@ class PowerSpectrum:
                 m=int(z["m"]), beta=tuple(z["beta"]),
             )
 
+    def peek(self, **kwargs):
+        """Object-level convenience mirroring the reference's
+        ``PowerSpectrum.peek`` (``spctrm.py:176``); delegates to
+        :func:`vpower_tpu.utils.plotting.peek_spectrum`."""
+        from ..utils.plotting import peek_spectrum
+
+        return peek_spectrum(self, **kwargs)
+
+    def plot(self, **kwargs):
+        """Object-level convenience mirroring the reference's
+        ``PowerSpectrum.plot`` (``spctrm.py:193``); delegates to
+        :func:`vpower_tpu.utils.plotting.plot_spectrum`."""
+        from ..utils.plotting import plot_spectrum
+
+        return plot_spectrum(self, **kwargs)
+
     def save_txt(self, path: str) -> None:
         """Reference-compatible 4-column text file
         (``parallel_optimized.py:473``), atomically replaced."""
