@@ -118,6 +118,14 @@ class BoxField:
             cell_size=self.cell_size,
         )
 
+    def peek(self, **kwargs):
+        """Object-level convenience mirroring the reference's
+        ``BoxField.peek`` (``interp.py:669``); delegates to
+        :func:`vpower_tpu.utils.plotting.peek_field`."""
+        from ..utils.plotting import peek_field
+
+        return peek_field(self, **kwargs)
+
     def down_sample(self, n: int) -> "BoxField":
         """Mass-weighted down-sample by integer factor ``n``.
 
