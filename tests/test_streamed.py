@@ -101,6 +101,34 @@ def test_streamed_nn_velocity_full_sweep_vs_unfolded():
                                rtol=2e-4, atol=1e-30)
 
 
+def test_device_candidate_builder_matches_host():
+    """The device-side expand+sort (used off-CPU, where
+    _block_candidates_device does not delegate) produces the same runs
+    as the host builder: equal spans, identical per-block row sets."""
+    from vpower_tpu.run.streamed import (
+        _block_candidates, _cand_expand_sort, _cand_table,
+    )
+
+    p = synthetic_particles(jax.random.PRNGKey(23), 11, box_size=2.0,
+                            jitter=0.7)
+    for m, ng, mc in ((4, 32, 8), (2, 64, 16)):
+        rh, sh, ch, ph, ext, mp = _block_candidates(p, m, ng, mc)
+        table, c = _cand_table(p.pos, p.vel, p.density, m, 2.0,
+                               2.0 / m, mp)
+        total = int(jnp.sum(c))
+        r_pad = ((total + 1024) // 1024) * 1024
+        rows, s0, c0 = _cand_expand_sort(table, c, m, 2.0 / m, r_pad)
+        np.testing.assert_array_equal(np.asarray(s0), sh)
+        np.testing.assert_array_equal(np.asarray(c0), ch)
+        rdn = np.asarray(rows)
+        for q in range(m**3):
+            a = rh[sh[q]:sh[q] + ch[q]]
+            b = rdn[sh[q]:sh[q] + ch[q]]
+            ka = a[np.lexsort(np.round(a, 5).T[::-1])]
+            kb = b[np.lexsort(np.round(b, 5).T[::-1])]
+            assert np.abs(ka - kb).max() < 1e-5 if len(ka) else True
+
+
 def test_streamed_exact_window_path_vs_unfolded():
     """exact=True with a window-capable extended grid (n_ext % 64 == 0)
     routes blocks through the provably-exact window sweep; the full
