@@ -62,11 +62,14 @@ def main():
             print(f"[{el:8.1f}s] batch {bi + 1}/{n_batches} "
                   f"block {q + 1}/{n_blocks}", flush=True)
 
+    # margin: density-aware certified default (~3 mean spacings -> a
+    # 320^3 extended descent instead of the worst-case-64-margin 384^3;
+    # blocks that cannot be certified escalate automatically)
     stages = {}
     sweep = streamed_folded_sweep(
         particles, n_grid, m, quantity="velocity", method="nn",
         beta_sequence=betas, beta_batch=min(n_betas, 8),
-        margin_cells=64, cache=False, progress=progress,
+        cache=False, progress=progress,
         stage_times=stages,
     )
     wall = time.time() - t0

@@ -53,6 +53,7 @@ def distributed_streamed_sweep(
     beta_batch: int = 4,
     margin_cells: Optional[int] = None,
     exact: bool = False,
+    certify: bool = True,
     on_spectrum=None,
 ) -> SpectrumList:
     """Folded sub-spectra of a derived field over ``mesh``, block-
@@ -65,7 +66,15 @@ def distributed_streamed_sweep(
     block loop runs inside ``shard_map``); the provably-exact window
     sweep is host-orchestrated and therefore single-chip-only
     (:func:`~vpower_tpu.run.streamed.streamed_folded_sweep` with
-    ``exact=True``)."""
+    ``exact=True``).
+
+    ``certify=True`` counts, inside the same pass, the cells whose
+    assigned neighbor reaches the candidate margin (see the margin
+    certificate in :mod:`vpower_tpu.run.streamed`) and WARNS if any —
+    per-block escalation needs host orchestration, so the distributed
+    path reports instead of re-running; rerun with a larger
+    ``margin_cells`` (or the single-chip certified sweep) if it
+    fires."""
     devs = np.asarray(mesh.devices).reshape(-1)
     ndev = devs.size
     flat_mesh = Mesh(devs, ("b",))
@@ -126,10 +135,14 @@ def distributed_streamed_sweep(
                 rows_d, (starts_d[0, i], jnp.int32(0)),
                 (pad, rows_d.shape[1]),
             )
-            return run_streamed._nn_block_values(
+            out = run_streamed._nn_block_values(
                 cand, counts_d[0, i], n_grid, n_ext, margin_cells,
                 float(ext_box_grid), float(cell_total), quantity, exact,
-            ).reshape(n_ch, n_grid**3)
+                certify=certify,
+            )
+            if certify:
+                return out[0].reshape(n_ch, n_grid**3), out[1]
+            return out.reshape(n_ch, n_grid**3), jnp.int32(0)
 
     elif method in ("ngp", "cic", "sph"):
         # Raw particle arrays are O(Np) — small next to image-expanded
@@ -146,7 +159,7 @@ def distributed_streamed_sweep(
             return run_streamed._scatter_block_values(
                 pos_d, vel_d, mass_d, qv, n_grid, n_total, box,
                 method, quantity, h=h_d[0] if h_d else None,
-            ).reshape(n_ch, n_grid**3)
+            ).reshape(n_ch, n_grid**3), jnp.int32(0)
 
     else:
         raise ValueError(f"Unsupported method {method!r}")
@@ -157,9 +170,9 @@ def distributed_streamed_sweep(
             betas_f = betas.astype(jnp.float32)
 
             def scan_body(carry, i):
-                acc_re, acc_im = carry
+                acc_re, acc_im, sus = carry
                 q = d * nb_local + i
-                vals = block_values(i, q, *arrs)
+                vals, nsus = block_values(i, q, *arrs)
                 qv = jnp.stack(
                     [q // (m * m), (q // m) % m, q % m]
                 ).astype(jnp.float32)
@@ -170,15 +183,17 @@ def distributed_streamed_sweep(
                 return (
                     acc_re + s_re[:, None, None] * vals[None],
                     acc_im + s_im[:, None, None] * vals[None],
+                    sus + nsus,
                 ), None
 
             zeros = jnp.zeros((B, n_ch, n_grid**3), jnp.float32)
-            (acc_re, acc_im), _ = jax.lax.scan(
-                scan_body, (zeros, zeros),
+            (acc_re, acc_im, sus), _ = jax.lax.scan(
+                scan_body, (zeros, zeros, jnp.int32(0)),
                 jnp.arange(nb_local, dtype=jnp.int32),
             )
             acc_re = jax.lax.psum(acc_re, "b")
             acc_im = jax.lax.psum(acc_im, "b")
+            sus = jax.lax.psum(sus, "b")
 
             ks, ps, ns = [], [], []
             for j in range(B):      # static unroll over the beta batch
@@ -189,22 +204,25 @@ def distributed_streamed_sweep(
                 ks.append(k)
                 ps.append(psum)
                 ns.append(nsamp)
-            return ks[0], jnp.stack(ps), jnp.stack(ns)
+            return ks[0], jnp.stack(ps), jnp.stack(ns), sus
 
         return jax.jit(shard_map(
             body, mesh=flat_mesh, in_specs=(P(),) + arr_specs,
-            out_specs=(P(), P(), P()), check_vma=False,
+            out_specs=(P(), P(), P(), P()), check_vma=False,
         ))
 
     runners = {}
     spectra = []
+    sus_total = 0
     i = 0
     while i < len(betas_np):
         batch = betas_np[i:i + beta_batch]
         B = len(batch)
         if B not in runners:
             runners[B] = make_runner(B)
-        k, psum, nsamp = runners[B](jnp.asarray(batch), *arrays)
+        k, psum, nsamp, sus = runners[B](jnp.asarray(batch), *arrays)
+        # blocks are recomputed per batch, so the count repeats: keep max
+        sus_total = max(sus_total, int(np.asarray(sus).max()))
         k_np = np.asarray(k)
         for j, beta in enumerate(batch):
             s = PowerSpectrum.from_binned(
@@ -215,4 +233,15 @@ def distributed_streamed_sweep(
             if on_spectrum is not None:
                 on_spectrum(s)  # e.g. the CLI's per-beta checkpoint
         i += beta_batch
+    if sus_total:
+        import warnings
+
+        warnings.warn(
+            f"{sus_total} cells could not be margin-certified "
+            f"(assigned neighbor at/beyond margin_cells={margin_cells}); "
+            f"the distributed sweep cannot escalate per block — rerun "
+            f"with a larger margin_cells, or use the single-chip "
+            f"certified streamed_folded_sweep.",
+            stacklevel=2,
+        )
     return SpectrumList(spectra)

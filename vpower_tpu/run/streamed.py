@@ -24,9 +24,24 @@ Per-block NN is exact-by-construction inside a configurable margin:
 each block's candidate set is every particle within ``margin_cells``
 full-res cells of the block (periodic images included, open-box
 distances — the reference ANN metric), padded to a fixed shape and
-masked via ``nn_assign(valid=...)``.  A cell whose true NN lies beyond
-the margin gets its nearest in-margin particle instead; widen
-``margin_cells`` (or lower m) for emptier boxes.
+masked via ``nn_assign(valid=...)``.
+
+The margin carries a per-block CERTIFICATE (``certify=True``, the
+default): a particle excluded from block q's candidates is, along some
+axis, more than ``margin_phys`` outside the block, hence more than
+``margin_phys`` from every cell center inside the block — so any cell
+whose ASSIGNED neighbor lies strictly closer than ``margin_phys`` is
+provably unaffected by the margin (its true NN was among the
+candidates).  Blocks with any uncertified cell are automatically re-run
+with a doubled margin (up to the representability limit), so small
+margins are safe by construction and the default can track the
+particle density (~3 mean interparticle spacings) instead of a
+worst-case constant — at 10M particles / 2048 range that is a 320^3
+extended descent instead of 384^3, ~1.7x less NN work per block.  The
+certificate bounds the CANDIDATE set, not the descent: fast-mode
+assignments keep :func:`~vpower_tpu.deposit.nn.nn_assign`'s exactness
+class among candidates; with ``exact=True`` a certified cell is
+globally exact.
 
 The reference pays the same query cost per beta loop
 (``parallel_optimized.py:323-356`` re-queries Annoy inside the beta
@@ -310,6 +325,59 @@ def _block_candidates_device(
     return rows, starts, counts, pad, float(ext_size), margin_phys
 
 
+def _default_margin_cells(n_grid: int, n_total: int, n_particles: int):
+    """Density-aware default candidate margin: ~3 mean interparticle
+    spacings in full-res cells (Poisson P(NN > 3 spacings) ~ e^-113, so
+    violations only arise in genuinely under-dense regions — which the
+    certificate catches and escalates per block).  Never larger than
+    the former worst-case default ``n_grid // 4``."""
+    spacing = n_total / max(float(n_particles), 1.0) ** (1.0 / 3.0)
+    return int(min(max(8, int(np.ceil(3.0 * spacing))),
+                   max(n_grid // 4, 8)))
+
+
+def _round_ext_capped(n_grid: int, margin_cells: int, margin_max: int):
+    """:func:`round_ext` with the representability cap: the rounded
+    margin never exceeds ``margin_max`` (= floor((box - block)/2/cell),
+    beyond which a particle could need two periodic images in the
+    extended open-box frame).  Past the cap the extended size rounds
+    DOWN to a multiple of 8 (any even-split multigrid size; the sweep
+    falls back to XLA if the Pallas tiling does not fit)."""
+    n_ext, mc = round_ext(n_grid, min(margin_cells, margin_max))
+    if mc > margin_max:
+        mc = margin_max // 4 * 4  # 2*mc keeps n_ext a multiple of 8
+        if mc <= 0:
+            mc = margin_max
+        n_ext = n_grid + 2 * mc
+    return n_ext, mc
+
+
+def _single_block_rows(
+    particles: Particles, q3: np.ndarray, m: int, margin_phys: float,
+    pad_quantum: int = 4096,
+):
+    """Candidate rows of ONE block at an arbitrary margin — the
+    escalation path of the margin certificate (recomputed from the full
+    particle set; the pre-sorted runs were built for the base margin).
+    Returns ``(rows (Kpad, 7) f32 device array, count)`` in the block's
+    extended open-box frame, padded to a ``pad_quantum`` multiple so
+    escalations reuse compiles."""
+    box = float(particles.box_size)
+    bs = box / m
+    ext = bs + 2.0 * margin_phys
+    pos = np.asarray(particles.pos, np.float64) % box
+    lo = q3.astype(np.float64) * bs
+    rel = (pos - lo[None, :] + margin_phys) % box
+    inside = np.all(rel < ext, axis=1)
+    k = int(inside.sum())
+    kpad = max((k + pad_quantum) // pad_quantum * pad_quantum, pad_quantum)
+    rows = np.zeros((kpad, 7), np.float32)
+    rows[:k, :3] = rel[inside]
+    rows[:k, 3:6] = np.asarray(particles.vel, np.float32)[inside]
+    rows[:k, 6] = np.asarray(particles.density, np.float32)[inside]
+    return jnp.asarray(rows), k
+
+
 # ---------------------------------------------------------------------- #
 # per-block full-resolution field values                                 #
 # ---------------------------------------------------------------------- #
@@ -326,32 +394,42 @@ def _quantity_vals(vel, rho, cell, quantity):
 
 
 def _nn_block_values_exact(
-    cand, count, n_grid, n_ext, margin_cells, ext_box, cell, quantity
+    cand, count, n_grid, n_ext, margin_cells, ext_box, cell, quantity,
+    certify=False,
 ):
     """Provably-exact variant of :func:`_nn_block_values` — routes the
     block through the sorted-segment window sweep
     (:func:`vpower_tpu.deposit.nn_window.nn_window_gather`), exact
     among the block's candidates (i.e. exact wherever the true NN lies
     within the margin — the block-candidate contract).  Host-orchestrated
-    (the sweep's tier decisions sync), so NOT jitted."""
+    (the sweep's tier decisions sync), so NOT jitted.
+
+    ``certify=True`` additionally returns the count of interior cells
+    whose assigned distance REACHES the margin (the cells the margin
+    certificate cannot clear — see the module docstring)."""
     from ..deposit.nn_window import nn_window_gather
 
     pos = cand[:, :3]
     valid = jnp.arange(cand.shape[0], dtype=jnp.int32) < count
     vals = _quantity_vals(cand[:, 3:6], cand[:, 6], cell, quantity)
-    pay, _, occ = nn_window_gather(
+    pay, d2, occ = nn_window_gather(
         pos, vals, n_ext, ext_box, periodic=False, valid=valid,
     )
     sl = slice(margin_cells, margin_cells + n_grid)
     n_ch = pay.shape[0]
-    return jnp.where(occ > 0.5, pay[:, sl, sl, sl], 0.0).reshape(
+    out = jnp.where(occ > 0.5, pay[:, sl, sl, sl], 0.0).reshape(
         n_ch, n_grid**3
     )
+    if not certify:
+        return out
+    margin_phys = margin_cells * (ext_box / n_ext)
+    n_sus = jnp.sum(d2[sl, sl, sl] >= margin_phys * margin_phys)
+    return out, n_sus.astype(jnp.int32)
 @partial(
     jax.jit,
     static_argnames=(
         "n_grid", "n_ext", "margin_cells", "ext_box", "cell", "quantity",
-        "exact",
+        "exact", "certify",
     ),
 )
 def _nn_block_values(
@@ -364,7 +442,8 @@ def _nn_block_values(
     cell: float,
     quantity: str,
     exact: bool,
-) -> jax.Array:
+    certify: bool = False,
+):
     """(C, n_grid^3) full-res field values of one block by exact-NN
     gather (reference ANN semantics: open-box metric, value of the
     nearest particle — ``interp.py:246-277, 1018-1049``).
@@ -372,15 +451,30 @@ def _nn_block_values(
     The fast path (``exact=False``) carries the quantity's channels
     through the Voronoi descent (:func:`~vpower_tpu.deposit.nn.
     nn_gather_grid`) instead of gathering rows afterwards — the gather
-    was the single largest cost of the 2048-range streamed run."""
+    was the single largest cost of the 2048-range streamed run.
+
+    ``certify=True`` also returns an int32 scalar: the number of
+    interior cells whose assigned distance reaches ``margin_cells``
+    cells (cells the margin certificate cannot prove unaffected by the
+    finite candidate margin; unoccupied cells count as uncertified).
+    """
     pos = cand[:, :3]
     vel = cand[:, 3:6]
     rho = cand[:, 6]
     valid = jnp.arange(cand.shape[0], dtype=jnp.int32) < count
     sl = slice(margin_cells, margin_cells + n_grid)
+    margin_phys = margin_cells * (ext_box / n_ext)
 
     if not exact:
         vals = _quantity_vals(vel, rho, cell, quantity)
+        if certify:
+            g, occ, d2 = nn_gather_grid(
+                pos, vals, n_ext, ext_box, periodic=False, valid=valid,
+                return_d2=True,
+            )
+            out = jnp.where(occ > 0.5, g[:, sl, sl, sl], 0.0)
+            n_sus = jnp.sum(d2[sl, sl, sl] >= margin_phys * margin_phys)
+            return out, n_sus.astype(jnp.int32)
         g, occ = nn_gather_grid(
             pos, vals, n_ext, ext_box, periodic=False, valid=valid,
         )
@@ -400,13 +494,32 @@ def _nn_block_values(
         return jnp.where(ok, f[idxc], 0.0)
 
     if quantity == "velocity":
-        return jnp.stack([gather(vel[:, c]) for c in range(3)])
-    mass = rho * cell**3  # reference mass = rho * Lcell^3 (interp.py:273)
-    if quantity == "momentum":
-        return jnp.stack([gather(mass * vel[:, c]) for c in range(3)])
-    if quantity == "energy":
-        return gather(mass * jnp.sum(vel**2, axis=1))[None]
-    raise ValueError(f"Unsupported quantity {quantity!r}")
+        out = jnp.stack([gather(vel[:, c]) for c in range(3)])
+    else:
+        # reference mass = rho * Lcell^3 (interp.py:273)
+        mass = rho * cell**3
+        if quantity == "momentum":
+            out = jnp.stack([gather(mass * vel[:, c]) for c in range(3)])
+        elif quantity == "energy":
+            out = gather(mass * jnp.sum(vel**2, axis=1))[None]
+        else:
+            raise ValueError(f"Unsupported quantity {quantity!r}")
+    if not certify:
+        return out
+    ax = (jnp.arange(n_grid, dtype=pos.dtype)
+          + (margin_cells + 0.5)) * (ext_box / n_ext)
+    p = pos[idxc]
+    d2 = ((p[..., 0] - ax[:, None, None]) ** 2
+          + (p[..., 1] - ax[None, :, None]) ** 2
+          + (p[..., 2] - ax[None, None, :]) ** 2)
+    # the ring-refined path is only PROVABLY exact when the assignment
+    # lies within the refine radius (2 cells) — certify to the tighter
+    # of that and the margin, so exact-mode blocks on non-window grid
+    # sizes self-escalate to a window-capable size instead of silently
+    # keeping ring-class assignments
+    thresh = min(margin_phys, 2.0 * ext_box / n_ext)
+    n_sus = jnp.sum(~ok | (d2 >= thresh * thresh))
+    return out, n_sus.astype(jnp.int32)
 
 
 @partial(
@@ -596,6 +709,7 @@ def streamed_folded_sweep(
     beta_batch: int = 4,
     margin_cells: Optional[int] = None,
     exact: bool = False,
+    certify: bool = True,
     cache: bool = True,
     cache_bytes_limit: float = 32e9,
     progress=None,
@@ -613,6 +727,17 @@ def streamed_folded_sweep(
     (float32 under ``cache_bytes_limit``, else float16) so later batches
     skip the deposition entirely.
 
+    ``certify`` (NN only): verify per block that no interior cell's
+    assigned neighbor reaches the candidate margin (which would mean
+    the true NN could have been excluded); offending blocks re-run at
+    doubled margins until certified or the margin hits the periodic
+    representability limit.  With the certificate on, the default
+    margin is density-aware (~3 mean spacings) instead of the
+    worst-case ``n_grid // 4`` — the dominant per-block descent shrinks
+    by ~1.7x at production occupancy.  The lookahead settle keeps one
+    block in flight so certification does not serialize host and
+    device.
+
     Matches the reference's canonical distributed pipeline semantics
     (``parallel_optimized.py:337-398``) — this is the "folded velocity
     power spectrum" the project is named for.
@@ -621,7 +746,10 @@ def streamed_folded_sweep(
     ``candidates_s`` (host-side per-block run sort), ``blocks_s``
     (deposition + fold-accumulate, synced once per batch by a scalar
     transfer — device syncs are free relative to a batch), ``finish_s``
-    (per-beta FFT power + shell binning).
+    (per-beta FFT power + shell binning) — plus certificate stats:
+    ``suspect_cells`` (uncertified at the base margin),
+    ``escalated_blocks``, ``uncertified_cells`` (remaining after the
+    largest representable margin; 0 in any non-degenerate box).
     """
     import time as _time
     if beta_sequence is None:
@@ -635,10 +763,21 @@ def streamed_folded_sweep(
     kmax = float(np.pi / (box / n_total))
     n_bins = int((kmax - kmin) / kmin) + 1
 
+    certify = certify and method == "nn"
+
     if method == "nn":
-        if margin_cells is None:
-            margin_cells = max(n_grid // 4, 8)
-        n_ext, margin_cells = round_ext(n_grid, margin_cells)
+        margin_max = (n_total - n_grid) // 2  # representability cap
+        if margin_cells is None and certify:
+            want = _default_margin_cells(
+                n_grid, n_total, particles.pos.shape[0]
+            )
+            n_ext, margin_cells = _round_ext_capped(
+                n_grid, want, margin_max
+            )
+        else:
+            if margin_cells is None:
+                margin_cells = max(n_grid // 4, 8)
+            n_ext, margin_cells = round_ext(n_grid, margin_cells)
         _t0 = _time.time()
         rows_d, starts, counts, pad, ext_box, _ = _block_candidates_device(
             particles, m, n_grid, margin_cells
@@ -652,25 +791,71 @@ def streamed_folded_sweep(
         if ext_box_grid < ext_box - 1e-9:
             raise AssertionError("extended grid smaller than candidate box")
 
-        # exact mode goes through the provably-exact window sweep where
-        # its tiling fits; other extended sizes keep the jitted
-        # ring-refine path
-        window_exact = exact and n_ext % 64 == 0
+        def _values_at(cand, count, n_ext_q, mc_q, want_certify):
+            # exact mode goes through the provably-exact window sweep
+            # where its tiling fits; other extended sizes keep the
+            # jitted ring-refine path
+            ext_q = n_ext_q * cell_total
+            if exact and n_ext_q % 64 == 0:
+                out = _nn_block_values_exact(
+                    cand, count, n_grid, n_ext_q, mc_q, float(ext_q),
+                    float(cell_total), quantity, certify=want_certify,
+                )
+            else:
+                out = _nn_block_values(
+                    cand, count, n_grid, n_ext_q, mc_q, float(ext_q),
+                    float(cell_total), quantity, exact,
+                    certify=want_certify,
+                )
+            if want_certify:
+                return out[0].reshape(n_ch, n_grid**3), out[1]
+            return out.reshape(n_ch, n_grid**3)
 
-        def block_values(q: int) -> jax.Array:
+        def block_values(q: int):
             cand = jax.lax.dynamic_slice(
                 rows_d, (int(starts[q]), 0), (pad, 7)
             )
-            if window_exact:
-                return _nn_block_values_exact(
-                    cand, jnp.int32(counts[q]), n_grid, n_ext,
-                    margin_cells, float(ext_box_grid), float(cell_total),
-                    quantity,
+            return _values_at(
+                cand, jnp.int32(counts[q]), n_ext, margin_cells, certify
+            )
+
+        def escalate_block(q: int):
+            """Re-run one uncertified block at doubled margins until the
+            certificate clears (or the margin hits the representability
+            cap — then warn and keep the best attempt)."""
+            q3 = np.array([q // (m * m), (q // m) % m, q % m], np.int64)
+            mc_req = margin_cells
+            while True:
+                mc_req = min(max(mc_req * 2, mc_req + 8), margin_max)
+                n_ext2, mc = _round_ext_capped(n_grid, mc_req, margin_max)
+                if exact and n_ext2 % 64 and n_grid % 2 == 0:
+                    # keep exact escalations on the window sweep
+                    ne64 = int(np.ceil(n_ext2 / 64) * 64)
+                    if (ne64 - n_grid) // 2 <= margin_max:
+                        n_ext2 = ne64
+                        mc = (ne64 - n_grid) // 2
+                rows2, k2 = _single_block_rows(
+                    particles, q3, m, mc * cell_total
                 )
-            return _nn_block_values(
-                cand, jnp.int32(counts[q]), n_grid, n_ext, margin_cells,
-                float(ext_box_grid), float(cell_total), quantity, exact,
-            ).reshape(n_ch, n_grid**3)
+                vals, nsus = _values_at(
+                    rows2, jnp.int32(k2), n_ext2, mc, True
+                )
+                n_bad = int(nsus)
+                if n_bad == 0 or mc_req >= margin_max:
+                    if n_bad:
+                        import warnings
+
+                        warnings.warn(
+                            f"block {q}: {n_bad} cells uncertified even "
+                            f"at the largest representable margin "
+                            f"({mc} cells) — a void wider than "
+                            f"(L - L/m)/2, or an exact-mode block with "
+                            f"no window-capable extended size; those "
+                            f"cells keep their nearest in-frame "
+                            f"assignment.",
+                            stacklevel=2,
+                        )
+                    return vals, n_bad
 
     elif method in ("ngp", "cic", "sph"):
         pos_d = particles.pos
@@ -715,14 +900,8 @@ def streamed_folded_sweep(
                 stacklevel=2,
             )
 
-    def get_block(q: int) -> jax.Array:
-        if cache and q in cache_store:
-            return jnp.asarray(cache_store[q], jnp.float32)
-        vals = block_values(q)
-        if cache:
-            cache_store[q] = np.asarray(vals, cache_dtype)
-        return vals
-
+    stats = {"suspect_cells": 0, "escalated_blocks": 0,
+             "uncertified_cells": 0}
     spectra: List[PowerSpectrum] = []
     n_batches = (len(betas_np) + beta_batch - 1) // beta_batch
     for bi in range(n_batches):
@@ -731,16 +910,45 @@ def streamed_folded_sweep(
         _tb = _time.time()
         acc_re = jnp.zeros((B, n_ch, n_grid**3), jnp.float32)
         acc_im = jnp.zeros((B, n_ch, n_grid**3), jnp.float32)
-        for q in range(n_blocks):
+
+        def settle(entry):
+            """Certify (escalating if needed), cache, and fold-accumulate
+            one block.  Called one block BEHIND the dispatch loop so the
+            certificate read syncs against already-finished work."""
+            nonlocal acc_re, acc_im
+            q, vals, nsus = entry
+            if nsus is not None:
+                n_bad = int(nsus)
+                if n_bad:
+                    stats["suspect_cells"] += n_bad
+                    stats["escalated_blocks"] += 1
+                    vals, left = escalate_block(q)
+                    stats["uncertified_cells"] += left
+            if cache and q not in cache_store:
+                cache_store[q] = np.asarray(vals, cache_dtype)
             qv = np.array([q // (m * m), (q // m) % m, q % m], np.float64)
             s = np.exp(-2j * np.pi * (batch @ qv) / m) / m**1.5
             acc_re, acc_im = _accumulate(
-                acc_re, acc_im, get_block(q),
+                acc_re, acc_im, vals,
                 jnp.asarray(s.real, jnp.float32),
                 jnp.asarray(s.imag, jnp.float32),
             )
+
+        pending = None
+        for q in range(n_blocks):
+            if cache and q in cache_store:
+                entry = (q, jnp.asarray(cache_store[q], jnp.float32), None)
+            elif certify:
+                vals, nsus = block_values(q)
+                entry = (q, vals, nsus)
+            else:
+                entry = (q, block_values(q), None)
+            if pending is not None:
+                settle(pending)
+            pending = entry
             if progress is not None:
                 progress(bi, n_batches, q, n_blocks)
+        settle(pending)
         if stage_times is not None:
             float(acc_re[0, 0, 0])  # sync (axon: block_until_ready no-op)
             stage_times["blocks_s"] = round(
@@ -763,6 +971,8 @@ def streamed_folded_sweep(
             stage_times["finish_s"] = round(
                 stage_times.get("finish_s", 0.0) + _time.time() - _tb, 2
             )
+    if stage_times is not None and certify:
+        stage_times.update(stats)
     return SpectrumList(spectra)
 
 
