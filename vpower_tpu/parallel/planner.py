@@ -164,12 +164,20 @@ def estimate_peak_bytes(
         )
         particle_bytes = n_particles * 10 * 4  # raw arrays (scatter)
         if method == "nn":
-            from ..run.streamed import round_ext
-
-            mc = margin_cells if margin_cells is not None else max(
-                n_grid // 4, 8
+            from ..run.streamed import (
+                _default_margin_cells, _round_ext_capped, round_ext,
             )
-            n_ext, _ = round_ext(n_grid, mc)  # the sweep's actual grid
+
+            if margin_cells is None:
+                # mirror the sweep's certified density-aware default
+                want = _default_margin_cells(
+                    n_grid, fold_m * n_grid, n_particles
+                )
+                n_ext, _ = _round_ext_capped(
+                    n_grid, want, (fold_m * n_grid - n_grid) // 2
+                )
+            else:
+                n_ext, _ = round_ext(n_grid, margin_cells)
             grid_bytes += n_ext**3 * _NN_BYTES_PER_CELL
             # candidate rows: Np scaled by the periodic-image/margin
             # expansion, sharded over devices, 25% imbalance slack

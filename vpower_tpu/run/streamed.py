@@ -696,6 +696,33 @@ def _finish_beta(
     return k_centers, psum, nsamp
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_grid", "n_total", "box", "n_bins"),
+    donate_argnames=("acc_re", "acc_im"),
+)
+def _finish_batch(
+    acc_re: jax.Array,   # (B, C, n^3)
+    acc_im: jax.Array,   # (B, C, n^3)
+    betas: jax.Array,    # (B, 3) int32
+    n_grid: int,
+    n_total: int,
+    box: float,
+    n_bins: int,
+):
+    """All of a batch's :func:`_finish_beta` calls in ONE dispatch (a
+    ``lax.scan`` over the beta axis): the per-beta phase+FFT+bin work
+    is small, so issuing it per beta paid a host round trip each — the
+    finish stage of the 2048-range run was dispatch-bound."""
+
+    def body(_, x):
+        ar, ai, b = x
+        return None, _finish_beta(ar, ai, b, n_grid, n_total, box, n_bins)
+
+    _, (k, psum, nsamp) = jax.lax.scan(body, None, (acc_re, acc_im, betas))
+    return k, psum, nsamp
+
+
 # ---------------------------------------------------------------------- #
 # driver                                                                 #
 # ---------------------------------------------------------------------- #
@@ -955,13 +982,16 @@ def streamed_folded_sweep(
                 stage_times.get("blocks_s", 0.0) + _time.time() - _tb, 2
             )
             _tb = _time.time()
+        ks, psums, nsamps = _finish_batch(
+            acc_re, acc_im, jnp.asarray(batch, jnp.int32),
+            n_grid, n_total, box, n_bins,
+        )
+        ks, psums, nsamps = (
+            np.asarray(ks), np.asarray(psums), np.asarray(nsamps),
+        )
         for j, beta in enumerate(batch):
-            k, psum, nsamp = _finish_beta(
-                acc_re[j], acc_im[j], jnp.asarray(beta, jnp.int32),
-                n_grid, n_total, box, n_bins,
-            )
             s = PowerSpectrum.from_binned(
-                np.asarray(k), np.asarray(psum), np.asarray(nsamp),
+                ks[j], psums[j], nsamps[j],
                 m=m, beta=tuple(int(b) for b in beta),
             )
             spectra.append(s)
