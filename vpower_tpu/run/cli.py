@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="provably-exact NN deposition (the window "
                         "sweep; reference library eps=0 semantics) "
                         "instead of the fast Voronoi descent")
+    p.add_argument("--no-certify", action="store_true",
+                   help="skip the per-block margin certificate on "
+                        "streamed NN runs (certified runs re-run "
+                        "blocks whose cells the margin cannot be "
+                        "proven safe for)")
     p.add_argument("--margin", type=int, default=None,
                    help="NN candidate margin in full-res cells for "
                    "streamed folded runs (default: n_grid / 4).")
@@ -271,6 +276,7 @@ def main(argv=None) -> int:
                     beta_sequence=np.asarray(pending, np.int64),
                     beta_batch=args.beta_batch, margin_cells=args.margin,
                     exact=args.exact,
+                    certify=not args.no_certify,
                     on_spectrum=checkpoint,
                 )
             else:
@@ -280,6 +286,7 @@ def main(argv=None) -> int:
                     beta_sequence=np.asarray(pending, np.int64),
                     beta_batch=args.beta_batch, margin_cells=args.margin,
                     exact=args.exact,
+                    certify=not args.no_certify,
                     on_spectrum=checkpoint,
                 )
         _maybe_splice(particles, plan, args, mesh, outputfile)
