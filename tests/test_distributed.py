@@ -295,3 +295,39 @@ def test_streamed_sweep_candidate_sharding_memory():
     # each shard must be well under the full candidate array; with 8
     # roughly-balanced blocks the max shard is ~1/8 plus slack
     assert r_dev < 0.3 * len(rows), (r_dev, len(rows))
+
+
+def test_distributed_exact_roundrobin_matches_global_exact():
+    """distributed_streamed_sweep(exact=True) routes blocks round-robin
+    over devices (window-exact + certified + escalating); the full
+    sweep must reconstruct the unfolded spectrum of the GLOBAL exact
+    deposition.  3 devices deliberately do NOT divide the 8 blocks —
+    round-robin has no divisibility constraint."""
+    from vpower_tpu import Particles
+    from vpower_tpu.deposit.nn import nn_interp_to_field
+    from vpower_tpu.parallel import distributed_streamed_sweep
+    from jax.sharding import Mesh
+
+    key = jax.random.PRNGKey(17)
+    kp, kv = jax.random.split(key)
+    n = 2000
+    p = Particles(
+        pos=jax.random.uniform(kp, (n, 3), jnp.float32),
+        mass=jnp.ones((n,), jnp.float32),
+        density=jnp.ones((n,), jnp.float32),
+        vel=jax.random.normal(kv, (n, 3), jnp.float32),
+        box_size=1.0,
+    )
+    n_grid, m = 32, 2
+    field = nn_interp_to_field(p, n_grid * m, exact=True)
+    s_direct = spectrum_from_field(field, quantity="velocity")
+
+    mesh = Mesh(np.array(jax.devices()[:3]), ("b",))
+    combined = distributed_streamed_sweep(
+        p, n_grid, m, mesh, quantity="velocity", method="nn",
+        beta_batch=8, margin_cells=16, exact=True,
+    ).combine_all()
+    k = min(len(combined), len(s_direct))
+    np.testing.assert_allclose(combined.Nsample[:k], s_direct.Nsample[:k])
+    np.testing.assert_allclose(combined.Psum[:k], s_direct.Psum[:k],
+                               rtol=2e-4, atol=1e-30)

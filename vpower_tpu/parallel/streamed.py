@@ -62,11 +62,14 @@ def distributed_streamed_sweep(
     :func:`~vpower_tpu.run.streamed.streamed_folded_sweep` (same block
     values, same accumulation order per device batch up to the psum).
 
-    ``exact=True`` here uses the jittable ring-refine exact path (the
-    block loop runs inside ``shard_map``); the provably-exact window
-    sweep is host-orchestrated and therefore single-chip-only
+    ``exact=True`` routes through round-robin block placement
     (:func:`~vpower_tpu.run.streamed.streamed_folded_sweep` with
-    ``exact=True``).
+    ``devices=``): the provably-exact window sweep's tier decisions are
+    data-dependent host syncs that SPMD cannot express per block, so
+    exact mode places block q on device ``q % ndev`` instead of
+    ``shard_map`` — full window exactness, margin certificates, AND
+    per-block escalation, at pod scale.  Fast mode keeps the
+    zero-sync one-jit ``shard_map`` scan below.
 
     ``certify=True`` counts, inside the same pass, the cells whose
     assigned neighbor reaches the candidate margin (see the margin
@@ -77,6 +80,17 @@ def distributed_streamed_sweep(
     fires."""
     devs = np.asarray(mesh.devices).reshape(-1)
     ndev = devs.size
+
+    if exact and method == "nn":
+        from ..run.streamed import streamed_folded_sweep
+
+        return streamed_folded_sweep(
+            particles, n_grid, m, quantity=quantity, method=method,
+            beta_sequence=beta_sequence, beta_batch=beta_batch,
+            margin_cells=margin_cells, exact=True, certify=certify,
+            devices=list(devs), on_spectrum=on_spectrum,
+        )
+
     flat_mesh = Mesh(devs, ("b",))
     n_blocks = m**3
     if n_blocks % ndev != 0:

@@ -354,7 +354,7 @@ def _round_ext_capped(n_grid: int, margin_cells: int, margin_max: int):
 
 def _single_block_rows(
     particles: Particles, q3: np.ndarray, m: int, margin_phys: float,
-    pad_quantum: int = 4096,
+    pad_quantum: int = 4096, device=None,
 ):
     """Candidate rows of ONE block at an arbitrary margin — the
     escalation path of the margin certificate (recomputed from the full
@@ -375,6 +375,8 @@ def _single_block_rows(
     rows[:k, :3] = rel[inside]
     rows[:k, 3:6] = np.asarray(particles.vel, np.float32)[inside]
     rows[:k, 6] = np.asarray(particles.density, np.float32)[inside]
+    if device is not None:
+        return jax.device_put(rows, device), k
     return jnp.asarray(rows), k
 
 
@@ -650,6 +652,13 @@ def _scatter_block_values(
 # ---------------------------------------------------------------------- #
 # accumulate + finish                                                    #
 # ---------------------------------------------------------------------- #
+@partial(jax.jit, donate_argnames=("a",))
+def _add_inplace(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Reduce per-device folded accumulators onto one device (the
+    round-robin multi-device mode's batch-end combine)."""
+    return a + b
+
+
 @partial(jax.jit, donate_argnames=("acc_re", "acc_im"))
 def _accumulate(
     acc_re: jax.Array, acc_im: jax.Array,  # (B, C, n^3) float32 each
@@ -739,6 +748,7 @@ def streamed_folded_sweep(
     certify: bool = True,
     cache: bool = True,
     cache_bytes_limit: float = 32e9,
+    devices=None,
     progress=None,
     on_spectrum=None,
     stage_times: Optional[dict] = None,
@@ -769,6 +779,19 @@ def streamed_folded_sweep(
     (``parallel_optimized.py:337-398``) — this is the "folded velocity
     power spectrum" the project is named for.
 
+    ``devices``: optional list of devices — block q is placed on
+    ``devices[q % ndev]`` (its candidate rows are transferred there and
+    every jit, INCLUDING the window sweep's host-orchestrated exact
+    passes and any certificate escalations, runs where its inputs
+    live), with one folded accumulator per device summed at batch end.
+    This is how EXACT mode distributes: the window sweep's tier
+    decisions are data-dependent host syncs, which SPMD (`shard_map`)
+    cannot express per block — round-robin placement keeps them while
+    the other devices' queues stay busy.  Fast mode has a zero-sync
+    block program, so :func:`vpower_tpu.parallel.streamed.
+    distributed_streamed_sweep` (one jit, one psum) remains the better
+    fast-mode route.
+
     ``stage_times``: pass a dict to receive a wall-clock breakdown —
     ``candidates_s`` (host-side per-block run sort), ``blocks_s``
     (deposition + fold-accumulate, synced once per batch by a scalar
@@ -791,6 +814,13 @@ def streamed_folded_sweep(
     n_bins = int((kmax - kmin) / kmin) + 1
 
     certify = certify and method == "nn"
+    multi = devices is not None and len(devices) > 1
+    n_dev = len(devices) if multi else 1
+    if multi and method != "nn":
+        raise ValueError(
+            "devices= round-robin placement is the NN (gather) path; "
+            "scatter methods distribute via distributed_streamed_sweep"
+        )
 
     if method == "nn":
         margin_max = (n_total - n_grid) // 2  # representability cap
@@ -806,10 +836,19 @@ def streamed_folded_sweep(
                 margin_cells = max(n_grid // 4, 8)
             n_ext, margin_cells = round_ext(n_grid, margin_cells)
         _t0 = _time.time()
-        rows_d, starts, counts, pad, ext_box, _ = _block_candidates_device(
-            particles, m, n_grid, margin_cells
-        )
-        float(jnp.sum(rows_d[0]))  # sync so the stage time is honest
+        if multi:
+            # host rows: each block's window is transferred to its
+            # round-robin device (a few MB — small next to the block)
+            rows_h, starts, counts, pad, ext_box, _ = _block_candidates(
+                particles, m, n_grid, margin_cells
+            )
+            rows_h = np.asarray(rows_h)
+        else:
+            rows_d, starts, counts, pad, ext_box, _ = \
+                _block_candidates_device(
+                    particles, m, n_grid, margin_cells
+                )
+            float(jnp.sum(rows_d[0]))  # sync so the stage time is honest
         if stage_times is not None:
             stage_times["candidates_s"] = round(_time.time() - _t0, 2)
         cell_total = box / n_total
@@ -839,9 +878,15 @@ def streamed_folded_sweep(
             return out.reshape(n_ch, n_grid**3)
 
         def block_values(q: int):
-            cand = jax.lax.dynamic_slice(
-                rows_d, (int(starts[q]), 0), (pad, 7)
-            )
+            if multi:
+                cand_np = np.zeros((pad, 7), np.float32)
+                c = int(counts[q])
+                cand_np[:c] = rows_h[int(starts[q]): int(starts[q]) + c]
+                cand = jax.device_put(cand_np, devices[q % n_dev])
+            else:
+                cand = jax.lax.dynamic_slice(
+                    rows_d, (int(starts[q]), 0), (pad, 7)
+                )
             return _values_at(
                 cand, jnp.int32(counts[q]), n_ext, margin_cells, certify
             )
@@ -862,7 +907,8 @@ def streamed_folded_sweep(
                         n_ext2 = ne64
                         mc = (ne64 - n_grid) // 2
                 rows2, k2 = _single_block_rows(
-                    particles, q3, m, mc * cell_total
+                    particles, q3, m, mc * cell_total,
+                    device=devices[q % n_dev] if multi else None,
                 )
                 vals, nsus = _values_at(
                     rows2, jnp.int32(k2), n_ext2, mc, True
@@ -935,8 +981,17 @@ def streamed_folded_sweep(
         batch = betas_np[bi * beta_batch: (bi + 1) * beta_batch]
         B = len(batch)
         _tb = _time.time()
-        acc_re = jnp.zeros((B, n_ch, n_grid**3), jnp.float32)
-        acc_im = jnp.zeros((B, n_ch, n_grid**3), jnp.float32)
+        shape = (B, n_ch, n_grid**3)
+        if multi:
+            accs = [
+                (jax.device_put(jnp.zeros(shape, jnp.float32), dv),
+                 jax.device_put(jnp.zeros(shape, jnp.float32), dv))
+                for dv in devices
+            ]
+            acc_re = acc_im = None
+        else:
+            acc_re = jnp.zeros(shape, jnp.float32)
+            acc_im = jnp.zeros(shape, jnp.float32)
 
         def settle(entry):
             """Certify (escalating if needed), cache, and fold-accumulate
@@ -955,16 +1010,23 @@ def streamed_folded_sweep(
                 cache_store[q] = np.asarray(vals, cache_dtype)
             qv = np.array([q // (m * m), (q // m) % m, q % m], np.float64)
             s = np.exp(-2j * np.pi * (batch @ qv) / m) / m**1.5
-            acc_re, acc_im = _accumulate(
-                acc_re, acc_im, vals,
-                jnp.asarray(s.real, jnp.float32),
-                jnp.asarray(s.imag, jnp.float32),
-            )
+            s_re = jnp.asarray(s.real, jnp.float32)
+            s_im = jnp.asarray(s.imag, jnp.float32)
+            if multi:
+                k = q % n_dev
+                accs[k] = _accumulate(accs[k][0], accs[k][1], vals,
+                                      s_re, s_im)
+            else:
+                acc_re, acc_im = _accumulate(acc_re, acc_im, vals,
+                                             s_re, s_im)
 
         pending = None
         for q in range(n_blocks):
             if cache and q in cache_store:
-                entry = (q, jnp.asarray(cache_store[q], jnp.float32), None)
+                cached = np.asarray(cache_store[q], np.float32)
+                v = (jax.device_put(cached, devices[q % n_dev])
+                     if multi else jnp.asarray(cached))
+                entry = (q, v, None)
             elif certify:
                 vals, nsus = block_values(q)
                 entry = (q, vals, nsus)
@@ -976,6 +1038,19 @@ def streamed_folded_sweep(
             if progress is not None:
                 progress(bi, n_batches, q, n_blocks)
         settle(pending)
+
+        if multi:
+            # batch-end combine: per-device partial accumulators summed
+            # on devices[0] (ndev - 1 transfers of B folded cubes)
+            acc_re, acc_im = accs[0]
+            for k in range(1, n_dev):
+                acc_re = _add_inplace(
+                    acc_re, jax.device_put(accs[k][0], devices[0])
+                )
+                acc_im = _add_inplace(
+                    acc_im, jax.device_put(accs[k][1], devices[0])
+                )
+            accs = None
         if stage_times is not None:
             float(acc_re[0, 0, 0])  # sync (axon: block_until_ready no-op)
             stage_times["blocks_s"] = round(
