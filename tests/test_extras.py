@@ -145,3 +145,62 @@ def test_planner_calibration_roundtrip(tmp_path, monkeypatch):
     # clamped against one wild record
     planner.record_measured_peak(plan, measured_bytes=100.0 * before)
     assert planner.calibration_factor("scatter") <= 4.0
+
+
+def test_multifile_snapshot_concatenates(tmp_path):
+    """Split snapshots (glob / directory / explicit list) concatenate to
+    the same particle set as one single-file load."""
+    import jax
+    import numpy as np
+
+    from vpower_tpu import load_snapshot, save_snapshot, synthetic_particles
+
+    p = synthetic_particles(jax.random.PRNGKey(6), 8, box_size=1.0,
+                            jitter=0.2)
+    n = p.pos.shape[0]
+    whole = str(tmp_path / "whole.hdf5")
+    save_snapshot(whole, p)
+    half = n // 2
+    (tmp_path / "parts").mkdir()
+    save_snapshot(str(tmp_path / "parts" / "snap.0.hdf5"), p[:half])
+    save_snapshot(str(tmp_path / "parts" / "snap.1.hdf5"), p[half:])
+
+    a = load_snapshot(whole, remove_bulk_velocity=False,
+                      shift_to_origin=False)
+    for spec in (str(tmp_path / "parts" / "snap.*.hdf5"),
+                 str(tmp_path / "parts"),
+                 [str(tmp_path / "parts" / "snap.0.hdf5"),
+                  str(tmp_path / "parts" / "snap.1.hdf5")]):
+        b = load_snapshot(spec, remove_bulk_velocity=False,
+                          shift_to_origin=False)
+        assert b.pos.shape[0] == n
+        np.testing.assert_allclose(
+            np.sort(np.asarray(a.pos), axis=0),
+            np.sort(np.asarray(b.pos), axis=0), rtol=1e-6)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        load_snapshot(str(tmp_path / "nope*.hdf5"))
+
+
+def test_cache_disabled_when_even_f16_overflows():
+    """If the host block-value cache cannot fit even as float16, the
+    sweep disables caching (recompute at full precision) instead of
+    silently storing a partial/oversized cache."""
+    import warnings
+
+    import jax
+    import numpy as np
+
+    from vpower_tpu import streamed_folded_sweep, synthetic_particles
+
+    p = synthetic_particles(jax.random.PRNGKey(2), 10, box_size=1.0,
+                            jitter=0.3)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        sweep = streamed_folded_sweep(
+            p, 8, 2, quantity="velocity", method="ngp",
+            beta_batch=4, cache=True, cache_bytes_limit=1.0,
+        )
+    assert any("caching disabled" in str(w.message) for w in rec)
+    assert len(sweep) == 8

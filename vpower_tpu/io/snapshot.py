@@ -21,8 +21,32 @@ from ..core.particles import Particles
 __all__ = ["load_snapshot", "save_snapshot", "init_dir"]
 
 
+def _snapshot_files(path) -> list:
+    """Expand a snapshot spec into the list of files it names: a single
+    file, an explicit list, a glob pattern, or a directory of split
+    snapshot parts (Gadget-4/Arepo ``snap_550.0.hdf5 .. .N.hdf5`` —
+    the reference only read single files, ``interp.py:115``)."""
+    import glob as _glob
+    import os as _os
+
+    if isinstance(path, (list, tuple)):
+        files = [str(p) for p in path]
+    elif _os.path.isdir(path):
+        files = sorted(
+            _glob.glob(_os.path.join(path, "*.hdf5"))
+            + _glob.glob(_os.path.join(path, "*.h5"))
+        )
+    elif any(c in str(path) for c in "*?["):
+        files = sorted(_glob.glob(str(path)))
+    else:
+        files = [str(path)]
+    if not files:
+        raise FileNotFoundError(f"no snapshot files match {path!r}")
+    return files
+
+
 def load_snapshot(
-    path: str,
+    path,
     box_size: float = 1.0,
     remove_bulk_velocity: bool = True,
     shift_to_origin: bool = True,
@@ -30,18 +54,27 @@ def load_snapshot(
     device: Optional[jax.Device] = None,
 ) -> Particles:
     """Read ``PartType0/{Coordinates,Masses,Density,Velocities}`` from an
-    HDF5 snapshot (reference ``interp.py:115-129``).
+    HDF5 snapshot (reference ``interp.py:115-129``).  ``path`` may also
+    be a glob pattern, a directory, or a list of files — split
+    snapshots are concatenated (particle order is irrelevant to every
+    deposition).
 
     Bulk-velocity removal and the shift to the origin run on device.
     """
     import h5py  # deferred: keep import cost out of the jit path
 
-    with h5py.File(path, "r") as f:
-        g = f["PartType0"]
-        pos = np.asarray(g["Coordinates"][:], dtype=np.float32)
-        mass = np.asarray(g["Masses"][:], dtype=np.float32)
-        density = np.asarray(g["Density"][:], dtype=np.float32)
-        vel = np.asarray(g["Velocities"][:], dtype=np.float32)
+    parts = {"Coordinates": [], "Masses": [], "Density": [],
+             "Velocities": []}
+    for fname in _snapshot_files(path):
+        with h5py.File(fname, "r") as f:
+            g = f["PartType0"]
+            for key, acc in parts.items():
+                acc.append(np.asarray(g[key][:], dtype=np.float32))
+    cat = (lambda xs: xs[0] if len(xs) == 1 else np.concatenate(xs))
+    pos = cat(parts["Coordinates"])
+    mass = cat(parts["Masses"])
+    density = cat(parts["Density"])
+    vel = cat(parts["Velocities"])
 
     put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
     particles = Particles(

@@ -957,11 +957,12 @@ def streamed_folded_sweep(
     cache_dtype = None
     if cache:
         total_bytes_f32 = n_blocks * n_ch * n_grid**3 * 4
-        cache_dtype = np.float32 if total_bytes_f32 <= cache_bytes_limit \
-            else np.float16
-        if cache_dtype is np.float16:
+        if total_bytes_f32 <= cache_bytes_limit:
+            cache_dtype = np.float32
+        elif total_bytes_f32 / 2 <= cache_bytes_limit:
             import warnings
 
+            cache_dtype = np.float16
             warnings.warn(
                 f"block-value cache ({total_bytes_f32 / 1e9:.1f} GB as "
                 f"float32) exceeds cache_bytes_limit="
@@ -970,6 +971,18 @@ def streamed_folded_sweep(
                 f"values (~3 decimal digits).  Raise cache_bytes_limit, "
                 f"lower beta_batch, or pass cache=False for full "
                 f"precision on every pass.",
+                stacklevel=2,
+            )
+        else:
+            import warnings
+
+            cache = False
+            warnings.warn(
+                f"block-value cache would need "
+                f"{total_bytes_f32 / 2e9:.1f} GB even as float16 — over "
+                f"cache_bytes_limit={cache_bytes_limit / 1e9:.1f} GB; "
+                f"caching disabled, every beta batch recomputes block "
+                f"values at full precision.",
                 stacklevel=2,
             )
 
