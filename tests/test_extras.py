@@ -204,3 +204,32 @@ def test_cache_disabled_when_even_f16_overflows():
         )
     assert any("caching disabled" in str(w.message) for w in rec)
     assert len(sweep) == 8
+
+
+def test_literal_path_with_glob_metachars_loads():
+    """An existing literal path containing glob metacharacters must load
+    directly, not be treated as a (non-matching) pattern."""
+    import tempfile
+    import os
+    import jax
+
+    from vpower_tpu import load_snapshot, save_snapshot, synthetic_particles
+
+    d = tempfile.mkdtemp()
+    p = synthetic_particles(jax.random.PRNGKey(1), 6, box_size=1.0)
+    path = os.path.join(d, "snap[0].hdf5")
+    save_snapshot(path, p)
+    q = load_snapshot(path, remove_bulk_velocity=False,
+                      shift_to_origin=False)
+    assert q.pos.shape[0] == p.pos.shape[0]
+
+
+def test_planner_models_uncertified_margin():
+    """certify=False (or an explicit margin) must be planned at the
+    worst-case margin, not the smaller certified default."""
+    from vpower_tpu.parallel.planner import estimate_peak_bytes
+
+    kw = dict(method="nn", quantity="velocity", fold_m=4, beta_batch=4)
+    certified = estimate_peak_bytes(256, 1, 10_000_000, **kw)
+    uncert = estimate_peak_bytes(256, 1, 10_000_000, certify=False, **kw)
+    assert uncert > certified

@@ -36,6 +36,10 @@ def _snapshot_files(path) -> list:
             _glob.glob(_os.path.join(path, "*.hdf5"))
             + _glob.glob(_os.path.join(path, "*.h5"))
         )
+    elif _os.path.exists(path):
+        # an existing literal path wins even if it contains glob
+        # metacharacters (e.g. run[1]/snap.hdf5)
+        files = [str(path)]
     elif any(c in str(path) for c in "*?["):
         files = sorted(_glob.glob(str(path)))
     else:

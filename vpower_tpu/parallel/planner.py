@@ -145,6 +145,7 @@ def estimate_peak_bytes(
     fold_m: int = 1,
     beta_batch: int = 1,
     margin_cells: Optional[int] = None,
+    certify: bool = True,
 ) -> int:
     """Per-device peak estimate (bytes) of the pipeline the CLI would
     run for this configuration.
@@ -168,7 +169,7 @@ def estimate_peak_bytes(
                 _default_margin_cells, _round_ext_capped, round_ext,
             )
 
-            if margin_cells is None:
+            if margin_cells is None and certify:
                 # mirror the sweep's certified density-aware default
                 want = _default_margin_cells(
                     n_grid, fold_m * n_grid, n_particles
@@ -177,7 +178,10 @@ def estimate_peak_bytes(
                     n_grid, want, (fold_m * n_grid - n_grid) // 2
                 )
             else:
-                n_ext, _ = round_ext(n_grid, margin_cells)
+                mc = margin_cells if margin_cells is not None else max(
+                    n_grid // 4, 8
+                )
+                n_ext, _ = round_ext(n_grid, mc)
             grid_bytes += n_ext**3 * _NN_BYTES_PER_CELL
             # candidate rows: Np scaled by the periodic-image/margin
             # expansion, sharded over devices, 25% imbalance slack
@@ -257,6 +261,8 @@ def plan_run(
     method: str = "ngp",
     quantity: str = "momentum",
     beta_batch: int = 1,
+    margin_cells: Optional[int] = None,
+    certify: bool = True,
 ) -> Plan:
     """Choose (n_grid, fold_m, mesh) for a target resolution.
 
@@ -292,6 +298,7 @@ def plan_run(
             peak = estimate_peak_bytes(
                 n_grid, n_dev_eff, n_particles, method=method,
                 quantity=quantity, fold_m=fold_m, beta_batch=beta_batch,
+                margin_cells=margin_cells, certify=certify,
             )
             fits = peak <= budget
             divisible = streamed or (

@@ -82,13 +82,28 @@ def distributed_streamed_sweep(
     ndev = devs.size
 
     if exact and method == "nn":
-        from ..run.streamed import streamed_folded_sweep
+        # round-robin needs every device addressable from this process
+        # (host numpy rows are device_put from the controller); on a
+        # multi-controller pod fall through to the SPMD shard_map path,
+        # whose exactness class is the jittable ring refine.
+        me = jax.process_index()
+        if all(d.process_index == me for d in devs):
+            from ..run.streamed import streamed_folded_sweep
 
-        return streamed_folded_sweep(
-            particles, n_grid, m, quantity=quantity, method=method,
-            beta_sequence=beta_sequence, beta_batch=beta_batch,
-            margin_cells=margin_cells, exact=True, certify=certify,
-            devices=list(devs), on_spectrum=on_spectrum,
+            return streamed_folded_sweep(
+                particles, n_grid, m, quantity=quantity, method=method,
+                beta_sequence=beta_sequence, beta_batch=beta_batch,
+                margin_cells=margin_cells, exact=True, certify=certify,
+                devices=list(devs), on_spectrum=on_spectrum,
+            )
+        import warnings
+
+        warnings.warn(
+            "multi-host mesh: exact NN runs the jittable ring-refine "
+            "path inside shard_map (the window sweep's host-side tier "
+            "decisions need single-controller addressability); the "
+            "certificate below counts any cell it cannot prove.",
+            stacklevel=2,
         )
 
     flat_mesh = Mesh(devs, ("b",))

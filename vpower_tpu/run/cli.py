@@ -160,7 +160,10 @@ def main(argv=None) -> int:
     from ..spectrum.spectrum import init_beta_space, random_beta_sequence
 
     assert os.path.isdir(args.output), "Output directory does not exist."
-    assert os.path.isfile(args.input), "Snapshot file does not exist."
+    from ..io.snapshot import _snapshot_files
+
+    _snapshot_files(args.input)  # raises FileNotFoundError if nothing
+    # matches (file / glob / directory of split snapshot parts)
     outputfile = os.path.join(args.output, "Pk.txt")
     done_file = os.path.join(args.output, "betas_done.txt")
 
@@ -182,6 +185,8 @@ def main(argv=None) -> int:
         method=args.method,
         quantity=args.quantity,
         beta_batch=args.beta_batch,
+        margin_cells=args.margin,
+        certify=not args.no_certify,
     )
     # Validate the method/quantity/fold combination BEFORE the plan is
     # confirmed (round-1 failure mode: a folded nn run materialized the
@@ -261,7 +266,13 @@ def main(argv=None) -> int:
         # pipeline across all ranks (parallel_optimized.py:201-495,
         # launched with mpiexec); a pod user must not silently get one
         # chip (VERDICT r2 missing #1).
-        use_mesh = n_devices > 1 and plan.fold_m**3 % n_devices == 0
+        # exact NN distributes via round-robin block placement, which
+        # has no blocks-divisible-by-devices constraint; the shard_map
+        # scan (everything else) needs whole blocks per device
+        use_mesh = n_devices > 1 and (
+            (args.exact and args.method == "nn")
+            or plan.fold_m**3 % n_devices == 0
+        )
         if pending:
             if use_mesh:
                 from ..parallel import distributed_streamed_sweep

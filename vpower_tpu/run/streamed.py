@@ -814,7 +814,7 @@ def streamed_folded_sweep(
     n_bins = int((kmax - kmin) / kmin) + 1
 
     certify = certify and method == "nn"
-    multi = devices is not None and len(devices) > 1
+    multi = devices is not None and len(devices) >= 1
     n_dev = len(devices) if multi else 1
     if multi and method != "nn":
         raise ValueError(
@@ -996,9 +996,12 @@ def streamed_folded_sweep(
         _tb = _time.time()
         shape = (B, n_ch, n_grid**3)
         if multi:
+            # np.zeros pages are COW-zero until touched: each device
+            # gets its zeros streamed from host with no default-device
+            # detour or transient HBM spike
+            zeros_h = np.zeros(shape, np.float32)
             accs = [
-                (jax.device_put(jnp.zeros(shape, jnp.float32), dv),
-                 jax.device_put(jnp.zeros(shape, jnp.float32), dv))
+                (jax.device_put(zeros_h, dv), jax.device_put(zeros_h, dv))
                 for dv in devices
             ]
             acc_re = acc_im = None
@@ -1033,7 +1036,14 @@ def streamed_folded_sweep(
                 acc_re, acc_im = _accumulate(acc_re, acc_im, vals,
                                              s_re, s_im)
 
-        pending = None
+        # in-flight depth: settling an entry host-syncs (certificate
+        # read / cache pull), so keep one dispatched block per device
+        # ahead of the settle point — the single-device case reduces to
+        # the classic one-block lookahead
+        from collections import deque
+
+        depth = max(1, n_dev)
+        pending = deque()
         for q in range(n_blocks):
             if cache and q in cache_store:
                 cached = np.asarray(cache_store[q], np.float32)
@@ -1045,12 +1055,13 @@ def streamed_folded_sweep(
                 entry = (q, vals, nsus)
             else:
                 entry = (q, block_values(q), None)
-            if pending is not None:
-                settle(pending)
-            pending = entry
+            pending.append(entry)
+            if len(pending) > depth:
+                settle(pending.popleft())
             if progress is not None:
                 progress(bi, n_batches, q, n_blocks)
-        settle(pending)
+        while pending:
+            settle(pending.popleft())
 
         if multi:
             # batch-end combine: per-device partial accumulators summed
