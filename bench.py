@@ -72,6 +72,21 @@ def _device_watchdog(first_op_timeout=240.0):
         sys.exit(3)
 
 
+def _pipeline_bytes_moved() -> float:
+    """Back-of-envelope HBM bytes of one 512^3 run: the value-carry
+    multigrid reads+writes its 8-channel f32 state per sweep round at
+    each pyramid level (sum_levels ~ 1.14 n^3), the three FFTs read and
+    write complex64 3x each pass, binning reads the power grid once.
+    Deliberately a LOWER bound (ignores seeds/rows side inputs), so the
+    printed GB/s underestimates true utilization."""
+    n3 = float(N_GRID) ** 3
+    state = 8 * 4  # [pos3, vals4, d2] f32 channels
+    descent = 2 * 2 * state * n3 * 1.14  # rw x 2 rounds x pyramid
+    fft = 3 * 3 * 2 * 8 * n3             # 3 comps x 3 1d-passes x rw c64
+    binning = 2 * 4 * n3
+    return descent + fft + binning
+
+
 def main():
     _device_watchdog()
     particles = make_workload()
@@ -119,6 +134,12 @@ def main():
                 # domain throughput: grid cells NN-assigned per second
                 # (the reference managed ~1-2 M queries/s/core)
                 "nn_queries_per_s": round(N_GRID**3 / value / 1e6, 1) * 1e6,
+                # HBM traffic model of the end-to-end pipeline (descent
+                # state cubes + FFT passes + binning), as a utilization
+                # proxy against the v5e's ~820 GB/s
+                "hbm_gb_per_s_est": round(
+                    _pipeline_bytes_moved() / value / 1e9, 1
+                ),
                 "range1024_s": round(range1024_s, 2),
                 "range1024_target_s": 10.0,
             }
