@@ -285,3 +285,42 @@ def test_streamed_folded_sweep_sph_runs():
     assert len(subs) == 8
     comb = subs.combine_all()
     assert np.isfinite(comb.Psum).all() and comb.Nsample.sum() > 0
+
+
+def test_disk_block_cache_roundtrip(tmp_path):
+    """cache_dir spills block values to disk (the reference gen-2 disk
+    buffer role): a second sweep with the same directory reuses every
+    block (no deposition calls) and reproduces the spectra; a manifest
+    mismatch (different workload) is rejected."""
+    import pytest
+
+    from vpower_tpu.run import streamed as rs
+
+    p = synthetic_particles(jax.random.PRNGKey(5), 12, box_size=1.0,
+                            jitter=0.4)
+    d = str(tmp_path / "bcache")
+    a = streamed_folded_sweep(p, 8, 2, quantity="velocity", method="cic",
+                              beta_batch=4, cache_dir=d)
+    import os
+
+    files = [f for f in os.listdir(d) if f.startswith("block_")]
+    assert len(files) == 8
+
+    # second run must never call the deposition kernel
+    def _boom(*a, **k):
+        raise AssertionError("block recomputed despite disk cache")
+
+    orig = rs._scatter_block_values
+    rs._scatter_block_values = _boom
+    try:
+        b = streamed_folded_sweep(p, 8, 2, quantity="velocity",
+                                  method="cic", beta_batch=4, cache_dir=d)
+    finally:
+        rs._scatter_block_values = orig
+    for sa, sb in zip(a, b):
+        np.testing.assert_allclose(sb.Psum, sa.Psum, rtol=1e-6)
+        np.testing.assert_array_equal(sb.Nsample, sa.Nsample)
+
+    with pytest.raises(ValueError, match="manifest"):
+        streamed_folded_sweep(p, 8, 2, quantity="energy", method="cic",
+                              beta_batch=4, cache_dir=d)

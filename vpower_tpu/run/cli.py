@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="provably-exact NN deposition (the window "
                         "sweep; reference library eps=0 semantics) "
                         "instead of the fast Voronoi descent")
+    p.add_argument("--block-cache", type=str, default=None,
+                   help="directory for the streamed block-value disk "
+                        "cache (reference gen-2 disk buffers): re-runs "
+                        "and crash resumes reuse every block already "
+                        "deposited")
     p.add_argument("--no-certify", action="store_true",
                    help="skip the per-block margin certificate on "
                         "streamed NN runs (certified runs re-run "
@@ -298,6 +303,7 @@ def main(argv=None) -> int:
                     beta_batch=args.beta_batch, margin_cells=args.margin,
                     exact=args.exact,
                     certify=not args.no_certify,
+                    cache_dir=args.block_cache,
                     on_spectrum=checkpoint,
                 )
         _maybe_splice(particles, plan, args, mesh, outputfile)

@@ -748,6 +748,7 @@ def streamed_folded_sweep(
     certify: bool = True,
     cache: bool = True,
     cache_bytes_limit: float = 32e9,
+    cache_dir: Optional[str] = None,
     devices=None,
     progress=None,
     on_spectrum=None,
@@ -763,6 +764,15 @@ def streamed_folded_sweep(
     scatter+divide (``'ngp'``/``'cic'``) and optionally cached host-side
     (float32 under ``cache_bytes_limit``, else float16) so later batches
     skip the deposition entirely.
+
+    ``cache_dir``: spill the block-value cache to DISK (one ``.npy``
+    per block) instead of RAM — the role the reference's gen-2 disk
+    buffers played (``scripts/parallel_disk.py:67-85``), minus their
+    recompute: a re-run (or a crash-resumed run) with the same
+    ``cache_dir`` reuses every block already deposited, and host RAM
+    stays O(1 block).  Files are committed atomically (tmp + rename),
+    so a crash mid-write never leaves a truncated block.  The dtype
+    still follows ``cache_bytes_limit`` (disk bytes instead of RAM).
 
     ``certify`` (NN only): verify per block that no interior cell's
     assigned neighbor reaches the candidate margin (which would mean
@@ -955,11 +965,14 @@ def streamed_folded_sweep(
     n_blocks = m**3
     cache_store: dict = {}
     cache_dtype = None
+    disk_mode = cache_dir is not None
+    if disk_mode:
+        cache = True  # an explicit directory means: cache, on disk
     if cache:
         total_bytes_f32 = n_blocks * n_ch * n_grid**3 * 4
         if total_bytes_f32 <= cache_bytes_limit:
             cache_dtype = np.float32
-        elif total_bytes_f32 / 2 <= cache_bytes_limit:
+        elif disk_mode or total_bytes_f32 / 2 <= cache_bytes_limit:
             import warnings
 
             cache_dtype = np.float16
@@ -982,9 +995,66 @@ def streamed_folded_sweep(
                 f"{total_bytes_f32 / 2e9:.1f} GB even as float16 — over "
                 f"cache_bytes_limit={cache_bytes_limit / 1e9:.1f} GB; "
                 f"caching disabled, every beta batch recomputes block "
-                f"values at full precision.",
+                f"values at full precision (pass cache_dir= to spill "
+                f"the cache to disk instead).",
                 stacklevel=2,
             )
+
+    if cache and disk_mode:
+        import hashlib
+        import json as _json
+        import os as _os
+
+        _os.makedirs(cache_dir, exist_ok=True)
+        head = np.ascontiguousarray(
+            np.asarray(particles.pos[:4096], np.float32)
+        )
+        manifest = {
+            "n_grid": n_grid, "m": m, "n_ch": n_ch,
+            "quantity": quantity, "method": method, "exact": bool(exact),
+            "certify": bool(certify), "margin_cells": margin_cells,
+            "n_particles": int(particles.pos.shape[0]),
+            "box": box, "dtype": np.dtype(cache_dtype).name,
+            "pos_head_sha1": hashlib.sha1(head.tobytes()).hexdigest(),
+        }
+        mpath = _os.path.join(cache_dir, "manifest.json")
+        if _os.path.exists(mpath):
+            with open(mpath) as fh:
+                on_disk = _json.load(fh)
+            if on_disk != manifest:
+                raise ValueError(
+                    f"cache_dir {cache_dir!r} holds blocks for a "
+                    f"different run (manifest mismatch: {on_disk} vs "
+                    f"{manifest}); point cache_dir at a fresh directory."
+                )
+        else:
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump(manifest, fh)
+            _os.replace(tmp, mpath)
+
+        def _cpath(q):
+            return _os.path.join(cache_dir, f"block_{q:06d}.npy")
+
+        def _cache_has(q):
+            return _os.path.exists(_cpath(q))
+
+        def _cache_get(q):
+            return np.load(_cpath(q))
+
+        def _cache_put(q, vals):
+            tmp = _cpath(q) + ".tmp.npy"
+            np.save(tmp, np.asarray(vals, cache_dtype))
+            _os.replace(tmp, _cpath(q))
+    else:
+        def _cache_has(q):
+            return q in cache_store
+
+        def _cache_get(q):
+            return cache_store[q]
+
+        def _cache_put(q, vals):
+            cache_store[q] = np.asarray(vals, cache_dtype)
 
     stats = {"suspect_cells": 0, "escalated_blocks": 0,
              "uncertified_cells": 0}
@@ -1022,8 +1092,8 @@ def streamed_folded_sweep(
                     stats["escalated_blocks"] += 1
                     vals, left = escalate_block(q)
                     stats["uncertified_cells"] += left
-            if cache and q not in cache_store:
-                cache_store[q] = np.asarray(vals, cache_dtype)
+            if cache and not _cache_has(q):
+                _cache_put(q, vals)
             qv = np.array([q // (m * m), (q // m) % m, q % m], np.float64)
             s = np.exp(-2j * np.pi * (batch @ qv) / m) / m**1.5
             s_re = jnp.asarray(s.real, jnp.float32)
@@ -1045,8 +1115,8 @@ def streamed_folded_sweep(
         depth = max(1, n_dev)
         pending = deque()
         for q in range(n_blocks):
-            if cache and q in cache_store:
-                cached = np.asarray(cache_store[q], np.float32)
+            if cache and _cache_has(q):
+                cached = np.asarray(_cache_get(q), np.float32)
                 v = (jax.device_put(cached, devices[q % n_dev])
                      if multi else jnp.asarray(cached))
                 entry = (q, v, None)
