@@ -652,11 +652,28 @@ def _scatter_block_values(
 # ---------------------------------------------------------------------- #
 # accumulate + finish                                                    #
 # ---------------------------------------------------------------------- #
-@partial(jax.jit, donate_argnames=("a",))
-def _add_inplace(a: jax.Array, b: jax.Array) -> jax.Array:
+def _backend_jit(fn, static=(), donate=()):
+    """jit with buffer donation on accelerators only — the CPU backend
+    cannot honor these donations and warns once per compile, which
+    turns every CPU-mesh test run into warning noise."""
+    fast = partial(jax.jit, static_argnames=static,
+                   donate_argnames=donate)(fn)
+    plain = partial(jax.jit, static_argnames=static)(fn)
+
+    def wrapper(*args, **kwargs):
+        use = plain if jax.default_backend() == "cpu" else fast
+        return use(*args, **kwargs)
+
+    return wrapper
+
+
+def _add_inplace_impl(a: jax.Array, b: jax.Array) -> jax.Array:
     """Reduce per-device folded accumulators onto one device (the
     round-robin multi-device mode's batch-end combine)."""
     return a + b
+
+
+_add_inplace = _backend_jit(_add_inplace_impl, donate=("a",))
 
 
 @partial(jax.jit, donate_argnames=("acc_re", "acc_im"))
@@ -705,12 +722,7 @@ def _finish_beta(
     return k_centers, psum, nsamp
 
 
-@partial(
-    jax.jit,
-    static_argnames=("n_grid", "n_total", "box", "n_bins"),
-    donate_argnames=("acc_re", "acc_im"),
-)
-def _finish_batch(
+def _finish_batch_impl(
     acc_re: jax.Array,   # (B, C, n^3)
     acc_im: jax.Array,   # (B, C, n^3)
     betas: jax.Array,    # (B, 3) int32
@@ -730,6 +742,13 @@ def _finish_batch(
 
     _, (k, psum, nsamp) = jax.lax.scan(body, None, (acc_re, acc_im, betas))
     return k, psum, nsamp
+
+
+_finish_batch = _backend_jit(
+    _finish_batch_impl,
+    static=("n_grid", "n_total", "box", "n_bins"),
+    donate=("acc_re", "acc_im"),
+)
 
 
 # ---------------------------------------------------------------------- #
