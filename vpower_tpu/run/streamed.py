@@ -1055,16 +1055,51 @@ def streamed_folded_sweep(
         def _cpath(q):
             return _os.path.join(cache_dir, f"block_{q:06d}.npy")
 
+        # single background writer: .npy serialization is disk-bound
+        # and would otherwise serialize with the block loop; the
+        # 2-deep queue bounds host RAM to ~2 extra blocks of values
+        import queue as _queue
+        import threading as _threading
+
+        _wq: "_queue.Queue" = _queue.Queue(maxsize=2)
+        _written = {
+            int(f[6:12])
+            for f in _os.listdir(cache_dir)
+            if f.startswith("block_") and f.endswith(".npy")
+            and not f.endswith(".tmp.npy")
+        }
+
+        def _writer():
+            while True:
+                item = _wq.get()
+                try:
+                    if item is None:
+                        return
+                    q, arr = item
+                    tmp = _cpath(q) + ".tmp.npy"
+                    np.save(tmp, arr)
+                    _os.replace(tmp, _cpath(q))
+                finally:
+                    _wq.task_done()
+
+        _wthread = _threading.Thread(target=_writer, daemon=True)
+        _wthread.start()
+
         def _cache_has(q):
-            return _os.path.exists(_cpath(q))
+            return q in _written
 
         def _cache_get(q):
+            if not _os.path.exists(_cpath(q)):
+                _wq.join()  # queued but not yet on disk
             return np.load(_cpath(q))
 
         def _cache_put(q, vals):
-            tmp = _cpath(q) + ".tmp.npy"
-            np.save(tmp, np.asarray(vals, cache_dtype))
-            _os.replace(tmp, _cpath(q))
+            _wq.put((q, np.asarray(vals, cache_dtype)))
+            _written.add(q)
+
+        def _cache_finish():
+            _wq.join()
+            _wq.put(None)
     else:
         def _cache_has(q):
             return q in cache_store
@@ -1074,6 +1109,9 @@ def streamed_folded_sweep(
 
         def _cache_put(q, vals):
             cache_store[q] = np.asarray(vals, cache_dtype)
+
+        def _cache_finish():
+            pass
 
     stats = {"suspect_cells": 0, "escalated_blocks": 0,
              "uncertified_cells": 0}
@@ -1144,6 +1182,11 @@ def streamed_folded_sweep(
                 entry = (q, vals, nsus)
             else:
                 entry = (q, block_values(q), None)
+            if cache and not _cache_has(q):
+                # start the device->host copy for the cache now, so it
+                # overlaps the NEXT block's compute instead of stalling
+                # settle() (no-op where the platform lacks async copies)
+                getattr(entry[1], "copy_to_host_async", lambda: None)()
             pending.append(entry)
             if len(pending) > depth:
                 settle(pending.popleft())
@@ -1191,6 +1234,7 @@ def streamed_folded_sweep(
             )
     if stage_times is not None and certify:
         stage_times.update(stats)
+    _cache_finish()  # disk mode: drain + stop the background writer
     return SpectrumList(spectra)
 
 
