@@ -51,7 +51,7 @@ from .spectrum.spectrum import (
 )
 from .utils.checks import check_conservation
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "Particles",
