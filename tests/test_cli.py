@@ -203,3 +203,26 @@ def test_cli_subsample_splice(tmp_path, snapshot):
     ps = np.average(s[both, 1], weights=s[both, 3])
     pr = np.average(r[both, 1], weights=r[both, 3])
     assert abs(ps - pr) / pr < 0.35, (ps, pr)
+
+
+def test_cli_block_cache_dir(tmp_path, snapshot):
+    """--block-cache spills streamed block values to disk; a second run
+    with the same cache reproduces the spectra from the stored blocks."""
+    out = str(tmp_path / "outbc")
+    bc = str(tmp_path / "bcache")
+    os.makedirs(out)
+    rc = main(["-i", snapshot, "-o", out, "-N", "32", "-M", "16", "-f",
+               "--method", "cic", "--quantity", "velocity",
+               "--single-chip", "--block-cache", bc])
+    assert rc == 0
+    blocks = [f for f in os.listdir(bc) if f.startswith("block_")]
+    assert len(blocks) == 8  # m=2
+    pk = np.loadtxt(os.path.join(out, "Pk.txt"))
+    out2 = str(tmp_path / "outbc2")
+    os.makedirs(out2)
+    rc = main(["-i", snapshot, "-o", out2, "-N", "32", "-M", "16", "-f",
+               "--method", "cic", "--quantity", "velocity",
+               "--single-chip", "--block-cache", bc])
+    assert rc == 0
+    np.testing.assert_allclose(
+        np.loadtxt(os.path.join(out2, "Pk.txt")), pk, rtol=1e-6)

@@ -125,9 +125,22 @@ def distributed_streamed_sweep(
     n_bins = int((kmax - kmin) / kmin) + 1
 
     if method == "nn":
-        if margin_cells is None:
-            margin_cells = max(n_grid // 4, 8)
-        n_ext, margin_cells = run_streamed.round_ext(n_grid, margin_cells)
+        if margin_cells is None and certify:
+            # mirror the single-chip certified default (the in-pass
+            # suspect count warns if the margin ever binds; SPMD cannot
+            # escalate per block, so the warning is the contract here)
+            want = run_streamed._default_margin_cells(
+                n_grid, n_total, particles.pos.shape[0]
+            )
+            n_ext, margin_cells = run_streamed._round_ext_capped(
+                n_grid, want, (n_total - n_grid) // 2
+            )
+        else:
+            if margin_cells is None:
+                margin_cells = max(n_grid // 4, 8)
+            n_ext, margin_cells = run_streamed.round_ext(
+                n_grid, margin_cells
+            )
         rows, starts, counts, pad, ext_box, _ = \
             run_streamed._block_candidates(
                 particles, m, n_grid, margin_cells
