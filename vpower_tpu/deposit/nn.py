@@ -49,6 +49,7 @@ from __future__ import annotations
 from functools import partial
 from typing import List, Tuple
 
+import os
 import numpy as np
 
 import jax
@@ -613,7 +614,10 @@ def _sweep_state_xla(ch, dist2, big, shifts):
 _PREMERGE_MIN = 256
 
 
-def _pallas_zc(n: int):
+_STATE_ZC512 = os.environ.get("VPOWER_STATE_ZC512", "0") == "1"
+
+
+def _pallas_zc(n: int, state_only: bool = False):
     """z-chunk extent for the value-carry Pallas sweep at grid size
     ``n``, or None when no lane-aligned tiling exists (XLA fallback).
 
@@ -625,9 +629,16 @@ def _pallas_zc(n: int):
     streamed-block descent on the MXU path — its XLA fallback was the
     single costliest stage (~0.61 s of 1.18 s/block) of the 2048-range
     pipeline.  Capped at 384 to keep the seeded sweep's VMEM inside one
-    core (~10 MB at k=2, C=8, wz=448)."""
+    core (~10 MB at k=2, C=8, wz=448); the STATE-ONLY passes (seeds
+    pre-merged, ~4.6 MB at zc=512) may additionally try zc=512 behind
+    ``VPOWER_STATE_ZC512=1`` — flag-gated pending an on-chip
+    measurement of descriptor count vs window size at 512^3."""
     if n % 128 == 0:
-        for zc in (384, 256, 128):
+        cands = (
+            (512, 384, 256, 128)
+            if state_only and _STATE_ZC512 else (384, 256, 128)
+        )
+        for zc in cands:
             if n % zc == 0:
                 return zc
     if n % 64 == 0 and 128 < n <= 384:
@@ -720,7 +731,7 @@ def nn_gather_grid(
                 ch, sc[0], n, float(box_size), periodic, big
             )
             del sc, ch
-            zc = _pallas_zc(n)
+            zc = _pallas_zc(n, state_only=True)
             if use_pallas and zc:
                 from .nn_pallas import sweep_tiles_vals
 
