@@ -324,3 +324,24 @@ def test_disk_block_cache_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="manifest"):
         streamed_folded_sweep(p, 8, 2, quantity="energy", method="cic",
                               beta_batch=4, cache_dir=d)
+
+
+def test_disk_block_cache_writer_failure_raises(tmp_path, monkeypatch):
+    """A failing cache write (e.g. disk full) surfaces as an error on
+    the main thread instead of hanging the sweep behind a dead writer."""
+    from vpower_tpu.run import streamed as rs
+
+    p = synthetic_particles(jax.random.PRNGKey(6), 12, box_size=1.0,
+                            jitter=0.4)
+    orig_save = np.save
+
+    def _fail_block_save(path, arr, *a, **k):
+        if "block_" in str(path):
+            raise OSError("No space left on device (simulated)")
+        return orig_save(path, arr, *a, **k)
+
+    monkeypatch.setattr(rs.np, "save", _fail_block_save)
+    with pytest.raises(RuntimeError, match="block-cache writer failed"):
+        streamed_folded_sweep(p, 8, 2, quantity="velocity", method="cic",
+                              beta_batch=4,
+                              cache_dir=str(tmp_path / "bfail"))

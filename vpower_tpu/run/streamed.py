@@ -1069,21 +1069,33 @@ def streamed_folded_sweep(
             and not f.endswith(".tmp.npy")
         }
 
+        _werr: list = []  # first writer exception (e.g. disk full)
+
         def _writer():
             while True:
                 item = _wq.get()
                 try:
                     if item is None:
                         return
+                    if _werr:
+                        continue  # drain without writing so puts unblock
                     q, arr = item
                     tmp = _cpath(q) + ".tmp.npy"
                     np.save(tmp, arr)
                     _os.replace(tmp, _cpath(q))
+                except BaseException as e:  # noqa: BLE001
+                    _werr.append(e)
                 finally:
                     _wq.task_done()
 
         _wthread = _threading.Thread(target=_writer, daemon=True)
         _wthread.start()
+
+        def _check_writer():
+            if _werr:
+                raise RuntimeError(
+                    f"block-cache writer failed ({cache_dir!r})"
+                ) from _werr[0]
 
         def _cache_has(q):
             return q in _written
@@ -1091,15 +1103,18 @@ def streamed_folded_sweep(
         def _cache_get(q):
             if not _os.path.exists(_cpath(q)):
                 _wq.join()  # queued but not yet on disk
+                _check_writer()
             return np.load(_cpath(q))
 
         def _cache_put(q, vals):
+            _check_writer()
             _wq.put((q, np.asarray(vals, cache_dtype)))
             _written.add(q)
 
         def _cache_finish():
             _wq.join()
             _wq.put(None)
+            _check_writer()
     else:
         def _cache_has(q):
             return q in cache_store
