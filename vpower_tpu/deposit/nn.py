@@ -623,16 +623,19 @@ def _pallas_zc(n: int, state_only: bool = False):
 
     n % 128 == 0 grids chunk normally (bigger chunk = fewer DMA
     descriptors; the sweep is descriptor-bound — zc=384 measured 0.21 s
-    vs 0.28 s at zc=128 on a 384^3 pass).  n % 128 == 64 grids run one
-    full-z chunk with a 32-cell halo (lane extent n + 64 stays
-    128-divisible): this puts the 192^3 pyramid level of a 384^3
-    streamed-block descent on the MXU path — its XLA fallback was the
-    single costliest stage (~0.61 s of 1.18 s/block) of the 2048-range
-    pipeline.  Capped at 384 to keep the seeded sweep's VMEM inside one
-    core (~10 MB at k=2, C=8, wz=448); the STATE-ONLY passes (seeds
-    pre-merged, ~4.6 MB at zc=512) may additionally try zc=512 behind
-    ``VPOWER_STATE_ZC512=1`` — flag-gated pending an on-chip
-    measurement of descriptor count vs window size at 512^3."""
+    vs 0.28 s at zc=128 on a 384^3 pass).  Other 32-aligned grids run
+    one full-z chunk whose halo keeps the DMA lane extent
+    128-divisible (``halo_z``: n % 128 == 64 -> 32, == 32 -> 48,
+    == 96 -> 16): this puts the 192^3 level of a 384^3 streamed-block
+    descent AND the 160^3 level of a 320^3 one on the Pallas path —
+    each was, in turn, the single costliest stage of the 2048-range
+    pipeline as its XLA fallback (0.61 s of 1.18 s/block at 384^3;
+    0.41 s of 0.67 s/block at 320^3).  Capped at 384 to keep the
+    seeded sweep's VMEM inside one core (~10 MB at k=2, C=8, wz=448);
+    the STATE-ONLY passes (seeds pre-merged, ~4.6 MB at zc=512) may
+    additionally try zc=512 behind ``VPOWER_STATE_ZC512=1`` —
+    flag-gated pending an on-chip measurement of descriptor count vs
+    window size at 512^3."""
     if n % 128 == 0:
         cands = (
             (512, 384, 256, 128)
@@ -641,7 +644,7 @@ def _pallas_zc(n: int, state_only: bool = False):
         for zc in cands:
             if n % zc == 0:
                 return zc
-    if n % 64 == 0 and 128 < n <= 384:
+    if n % 32 == 0 and 128 < n <= 384:
         return n
     return None
 

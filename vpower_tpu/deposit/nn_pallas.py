@@ -44,11 +44,11 @@ def halo_z(zc: int) -> int:
     """z halo for a chunk extent ``zc``: the smallest halo >= the sweep
     reach (2) that keeps the DMA window lane extent (zc + 2 hz) a
     multiple of 128.  zc % 128 == 0 -> 64 (the classic chunking);
-    zc % 128 == 64 -> 32 (single-full-z-chunk mode for n % 128 != 0
-    grids — e.g. the 192^3 level of a 384^3 streamed-block descent,
-    whose XLA fallback was the single costliest stage of the 2048-range
-    pipeline); small even zc (interpret-mode tests) get the aligned
-    complement."""
+    zc % 128 in (32, 64, 96) -> 48/32/16 (single-full-z-chunk mode for
+    n % 128 != 0 grids — e.g. the 192^3 level of a 384^3 streamed-block
+    descent and the 160^3 level of a 320^3 one, whose XLA fallbacks
+    were in turn the costliest stage of the 2048-range pipeline); small
+    even zc (interpret-mode tests) get the aligned complement."""
     assert zc % 2 == 0, zc
     hz = ((128 - zc % 128) % 128) // 2
     if hz < 2:
@@ -455,8 +455,8 @@ def sweep_tiles_vals(
     fields of the same layout, or is None for the pre-merged state-only
     mode.  Returns the merged (C, N, N, N) state.  Compiled-path
     alignment: zc % 128 == 0 chunking, or zc == N single-chunk mode
-    with the 32-cell halo for N % 128 == 64 grids (``halo_z``); tests
-    run any N in interpret mode."""
+    with the lane-aligning halo for 32-aligned grids (``halo_z``);
+    tests run any N in interpret mode."""
     n_ch = state.shape[0]
     n = state.shape[1]
     assert n % tile == 0, "grid must divide the tile size"
