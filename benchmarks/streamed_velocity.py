@@ -75,6 +75,13 @@ def main():
     wall = time.time() - t0
     combined = sweep.combine_all()
 
+    # stage_times carries the certificate counters inline; split them
+    # out so "stages" stays a pure wall-time map (ADVICE round 3)
+    certificate = {
+        k: stages.pop(k)
+        for k in ("suspect_cells", "escalated_blocks", "uncertified_cells")
+        if k in stages
+    }
     result = {
         "metric": f"{ntot}-range folded velocity P(k), NN gather, "
                   f"{n_betas} betas, 10M particles, 1 chip",
@@ -88,12 +95,14 @@ def main():
         "modes_binned": float(combined.Nsample.sum()),
         "n_blocks": m**3,
         "stages": stages,
+        "certificate": certificate,
     }
     print(json.dumps(result), flush=True)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        f"streamed_velocity_{ntot}.json")
     with open(out, "w") as fh:
         json.dump(result, fh, indent=1)
+        fh.write("\n")
 
 
 if __name__ == "__main__":

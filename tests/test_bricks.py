@@ -15,6 +15,8 @@ from vpower_tpu import (
 )
 from vpower_tpu.spectrum import fold as fold_mod
 
+pytestmark = pytest.mark.fast
+
 
 def _toy_field(key, n, box=1.0):
     kv, km = jax.random.split(key)

@@ -21,6 +21,10 @@ from vpower_tpu.spectrum.power import (
     window_compensation,
 )
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 
 def _toy_field(key, n, box=1.0, dtype=jnp.float64):
     kv, km = jax.random.split(key)

@@ -17,6 +17,10 @@ from vpower_tpu import (
 from vpower_tpu.run.pipeline import deposit
 from vpower_tpu.spectrum import fold as fold_mod
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 
 def np_get_phase(beta, total_n, n_local, offset=(0, 0, 0)):
     """Mirror of reference _get_phase (interp.py:1215-1224)."""

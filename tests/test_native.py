@@ -12,9 +12,12 @@ pytest.importorskip("ctypes")
 from vpower_tpu.io import native
 
 
-pytestmark = pytest.mark.skipif(
-    not native.native_available(), reason="native library unavailable"
-)
+pytestmark = [
+    pytest.mark.fast,
+    pytest.mark.skipif(
+        not native.native_available(), reason="native library unavailable"
+    ),
+]
 
 
 def write_gadget_snapshot(path, pos, vel, mass, rho, box=1.0):

@@ -202,6 +202,61 @@ def test_gather_grid_pallas_path_matches_fallback(rng):
     assert frac_diff < 2e-3, f"pallas vals path diverges: {frac_diff}"
 
 
+@pytest.mark.parametrize("n_grid", [32, 96])
+def test_vals_kernel_single_z_chunk_halo_classes(rng, n_grid):
+    """The single-full-z-chunk halo classes of the value-carry kernel
+    (zc % 128 == 32 -> hz=48, == 96 -> hz=16) against the same direct
+    numpy reference as :func:`test_vals_kernel_matches_reference` —
+    these are the halo paths the 160^3/224^3 levels of streamed-block
+    descents take (``_pallas_zc`` returns zc=n there), previously
+    validated only by the hardware benchmark run (ADVICE round 3).
+    Kernel-level at interpret-friendly sizes: ``halo_z`` depends only on
+    zc % 128, so zc=32/96 exercise exactly the hz=48/16 windows."""
+    from vpower_tpu.deposit import nn as nnmod
+    from vpower_tpu.deposit.nn_pallas import halo_z, sweep_tiles_vals
+
+    assert halo_z(n_grid) in (48, 16)
+    n, k, box = n_grid, 2, 1.0
+    pos = jnp.asarray(rng.random((1000, 3), np.float32))
+    vals = jnp.asarray(rng.standard_normal((1000, 3)).astype(np.float32))
+
+    sc = nnmod._seed_grids_vals(pos % box, vals, n, box, k)
+    n_ch = sc.shape[1]
+    out = np.asarray(sweep_tiles_vals(
+        sc[0], sc.reshape(k * n_ch, n, n, n), box,
+        periodic=True, tile=8, zc=n, interpret=True,
+    ))
+
+    scn = np.asarray(sc)
+    cell = box / n
+    axis = (np.arange(n) + 0.5) * cell
+    cx, cy, cz = np.meshgrid(axis, axis, axis, indexing="ij")
+    centers = np.stack([cx, cy, cz], axis=0)
+
+    def d2_of(posfield):
+        d = centers - posfield
+        d = d - box * np.round(d / box)
+        return np.sum(d * d, axis=0)
+
+    best = scn[0].copy()
+    best_d = np.where(best[-1] > 0.5, d2_of(best[:3]), 3.0e38)
+    for s in (2, 1):
+        for dx in (-s, 0, s):
+            for dy in (-s, 0, s):
+                for dz in (-s, 0, s):
+                    fields = range(k) if (dx, dy, dz) == (0, 0, 0) \
+                        else [-1] + list(range(k))
+                    for f in fields:
+                        fc = scn[0] if f < 0 else scn[f]
+                        cc = np.roll(fc, (dx, dy, dz), axis=(1, 2, 3))
+                        cd = np.where(cc[-1] > 0.5, d2_of(cc[:3]), 3.0e38)
+                        take = cd < best_d
+                        best = np.where(take[None], cc, best)
+                        best_d = np.where(take, cd, best_d)
+
+    np.testing.assert_allclose(out, best, rtol=1e-5, atol=1e-6)
+
+
 def test_premerge_mode_accuracy(rng):
     """Pre-merged state-only sweep (the memory-bound big-grid mode,
     forced on at a small grid): assignments against brute force —

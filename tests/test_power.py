@@ -7,6 +7,8 @@ import pytest
 
 from vpower_tpu.spectrum import power as pw
 
+pytestmark = pytest.mark.fast
+
 
 # ----------------------------------------------------------------------
 # numpy float64 mirror of the reference implementation

@@ -12,6 +12,8 @@ from vpower_tpu.spectrum.spectrum import (
     relative_diff,
 )
 
+pytestmark = pytest.mark.fast
+
 
 def make_spectrum(n=10, kmin=1.0, spacing=1.0, seed=0, m=0, beta=(-1, -1, -1)):
     rng = np.random.default_rng(seed)

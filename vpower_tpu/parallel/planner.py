@@ -23,8 +23,24 @@ from .mesh import mesh_shape_for
 
 __all__ = [
     "Plan", "plan_run", "estimate_peak_bytes", "device_hbm_bytes",
-    "record_measured_peak", "calibration_factor",
+    "record_measured_peak", "calibration_factor", "streamed_pipeline",
 ]
+
+
+def streamed_pipeline(method: str, quantity: str, fold_m: int) -> bool:
+    """THE routing predicate: does a run stream the full-resolution
+    lattice in blocks (``streamed_folded_sweep``) instead of the fused
+    fold scatter?  Owned here so the planner's memory model, the
+    ``Plan`` the user confirms, and the CLI's execution can never
+    disagree (the round-3 verdict caught folded SPH momentum planned as
+    fused but executed streamed).  Fused folding exists only for the
+    scatter momentum pipeline (NGP/CIC deposit of ``m * v`` with phase
+    weights, ``parallel/pipeline.py``); every other folded combination
+    — gather (NN) deposition, SPH, or a derived quantity whose
+    nonlinearity must be applied at full resolution — streams."""
+    return fold_m > 1 and not (
+        method in ("ngp", "cic") and quantity == "momentum"
+    )
 
 # Simultaneously-live n_grid^3 float32 cubes by pipeline (deposited
 # grids + FFT in/out + power + binning transients).  Complex folded
@@ -55,7 +71,7 @@ _CALIB_PATH = os.environ.get(
 
 
 def _pipeline_kind(method: str, quantity: str, fold_m: int) -> str:
-    if fold_m > 1 and (method == "nn" or quantity != "momentum"):
+    if streamed_pipeline(method, quantity, fold_m):
         return "streamed"
     return "fused" if fold_m > 1 else "scatter"
 
@@ -155,7 +171,7 @@ def estimate_peak_bytes(
     grid cells); what divides by ``n_devices`` is the NN candidate-row
     array, partitioned by block ownership (``parallel/streamed.py``)."""
     ndev = max(n_devices, 1)
-    streamed = fold_m > 1 and (method == "nn" or quantity != "momentum")
+    streamed = streamed_pipeline(method, quantity, fold_m)
 
     if streamed:
         n_ch = 1 if quantity == "energy" else 3
@@ -232,9 +248,7 @@ class Plan:
 
     @property
     def streamed(self) -> bool:
-        return self.fold_m > 1 and (
-            self.method == "nn" or self.quantity != "momentum"
-        )
+        return streamed_pipeline(self.method, self.quantity, self.fold_m)
 
     def describe(self) -> str:
         px, py = self.mesh_shape
@@ -286,9 +300,7 @@ def plan_run(
             # streamed pipelines run block-parallel whenever the m^3
             # blocks divide over the devices (run/cli.py routing),
             # else on one chip
-            streamed = fold_m > 1 and (
-                method == "nn" or quantity != "momentum"
-            )
+            streamed = streamed_pipeline(method, quantity, fold_m)
             if streamed:
                 n_dev_eff = (
                     n_devices if fold_m**3 % max(n_devices, 1) == 0 else 1

@@ -193,12 +193,13 @@ def main(argv=None) -> int:
         margin_cells=args.margin,
         certify=not args.no_certify,
     )
-    # Validate the method/quantity/fold combination BEFORE the plan is
-    # confirmed (round-1 failure mode: a folded nn run materialized the
-    # full NTOT^3 grid after the plan advertised O(n_grid^3) memory).
-    streamed = plan.fold_m > 1 and (
-        args.method in ("nn", "sph") or args.quantity != "momentum"
-    )
+    # Route by the PLAN's own pipeline predicate (planner-owned,
+    # ``parallel.planner.streamed_pipeline``): what the user confirmed
+    # — peak bytes, mesh divisibility, description — is exactly what
+    # runs (round-1 failure mode: a folded nn run materialized the full
+    # NTOT^3 grid after the plan advertised O(n_grid^3) memory; round-3
+    # variant: folded SPH momentum planned fused but executed streamed).
+    streamed = plan.streamed
     _log(plan.describe())
     if streamed:
         _log(
