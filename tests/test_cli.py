@@ -205,6 +205,38 @@ def test_cli_subsample_splice(tmp_path, snapshot):
     assert abs(ps - pr) / pr < 0.35, (ps, pr)
 
 
+def test_cli_interlace_compensate_folded(tmp_path, snapshot):
+    """--interlace/--compensate through the CLI on a FOLDED momentum
+    run (fused-fold pipeline; BASELINE.md "folded/interlaced" ceiling):
+    runs, resumes, and differs from the uncorrected run at high k."""
+    out = str(tmp_path / "outil")
+    os.makedirs(out)
+    base = ["-i", snapshot, "-N", "32", "-M", "16", "-f", "--method",
+            "cic", "--quantity", "momentum", "--single-chip"]
+    rc = main(base + ["-o", out, "--interlace", "--compensate"])
+    assert rc == 0
+    pk = np.loadtxt(os.path.join(out, "Pk.txt"))
+    assert np.isfinite(pk).all() and pk[:, 3].sum() > 0
+    out0 = str(tmp_path / "outil0")
+    os.makedirs(out0)
+    assert main(base + ["-o", out0]) == 0
+    pk0 = np.loadtxt(os.path.join(out0, "Pk.txt"))
+    n = min(len(pk), len(pk0))
+    np.testing.assert_array_equal(pk[:n, 3], pk0[:n, 3])
+    assert pk[n - 1, 2] > pk0[n - 1, 2]  # compensation boosts high k
+
+    # unsupported combinations are rejected up front
+    outv = str(tmp_path / "outil_v")
+    os.makedirs(outv)
+    rc = main(["-i", snapshot, "-o", outv, "-N", "32", "-M", "16", "-f",
+               "--method", "cic", "--quantity", "velocity",
+               "--interlace", "--single-chip"])
+    assert rc == 1  # folded velocity streams; no window correction
+    rc = main(["-i", snapshot, "-o", outv, "-N", "16", "-f",
+               "--method", "nn", "--interlace", "--single-chip"])
+    assert rc == 1  # gather deposition has no window
+
+
 class _Routed(Exception):
     """Sentinel raised by the pipeline stubs below: carries which
     pipeline the CLI dispatched to, without paying for the run."""

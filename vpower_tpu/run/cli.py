@@ -88,6 +88,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--margin", type=int, default=None,
                    help="NN candidate margin in full-res cells for "
                    "streamed folded runs (default: n_grid / 4).")
+    p.add_argument("--interlace", action="store_true",
+                   help="deposit a second half-cell-shifted grid and "
+                        "combine the transforms to cancel odd aliasing "
+                        "images of the deposition window (ngp/cic; "
+                        "folded runs: momentum via the fused-fold "
+                        "pipeline).")
+    p.add_argument("--compensate", action="store_true",
+                   help="deconvolve the ngp/cic deposition window "
+                        "(1/W(k)^2 before binning; folded runs use the "
+                        "global-mode window).")
     p.add_argument("--betas", type=int, default=None,
                    help="Compute only this many (random) beta offsets "
                    "instead of the full m^3 sweep.")
@@ -200,6 +210,19 @@ def main(argv=None) -> int:
     # NTOT^3 grid after the plan advertised O(n_grid^3) memory; round-3
     # variant: folded SPH momentum planned fused but executed streamed).
     streamed = plan.streamed
+    if args.interlace or args.compensate:
+        which = "--interlace/--compensate"
+        if args.method not in ("ngp", "cic"):
+            print(f"{which} are defined for the ngp/cic deposition "
+                  f"windows only (got --method {args.method}).",
+                  flush=True)
+            return 1
+        if streamed:
+            print(f"{which} on a folded run require the fused-fold "
+                  f"momentum pipeline (--quantity momentum with ngp/"
+                  f"cic); the block-streamed pipeline has no "
+                  f"deposition-window correction.", flush=True)
+            return 1
     _log(plan.describe())
     if streamed:
         _log(
@@ -224,7 +247,11 @@ def main(argv=None) -> int:
 
     mesh = None
     if n_devices > 1 and args.method in ("ngp", "cic"):
-        mesh = make_mesh(n_devices, shape=plan.mesh_shape)
+        if args.interlace or args.compensate:
+            _log("interlace/compensate run on the single-chip pipeline "
+                 "(the mesh scatter has no window-correction path yet).")
+        else:
+            mesh = make_mesh(n_devices, shape=plan.mesh_shape)
 
     if plan.fold_m == 1:
         # Single unfolded spectrum; full_spctrm.npz is the commit point.
@@ -370,9 +397,14 @@ def _one_beta(particles, plan, args, mesh, beta):
             particles, plan.n_grid, mesh, method=args.method,
             quantity=args.quantity, fold=fold,
         )
+    interlace = getattr(args, "interlace", False)
+    compensate = getattr(args, "compensate", False)
     if beta is None:
         kw = {"exact": True} if (args.method == "nn"
                                  and getattr(args, "exact", False)) else {}
+        if args.method in ("ngp", "cic"):
+            kw["interlace"] = interlace
+            kw["compensate"] = compensate
         return power_spectrum(
             particles, plan.n_grid, method=args.method,
             quantity=args.quantity, **kw,
@@ -383,7 +415,7 @@ def _one_beta(particles, plan, args, mesh, beta):
     assert args.method in ("ngp", "cic") and args.quantity == "momentum"
     return fused_fold_spectrum(
         particles, plan.n_grid, m=plan.fold_m, beta=beta,
-        method=args.method,
+        method=args.method, interlace=interlace, compensate=compensate,
     )
 
 

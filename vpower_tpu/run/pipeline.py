@@ -339,7 +339,8 @@ def folded_spectrum_sweep(
     )
 
 
-@partial(jax.jit, static_argnames=("n_grid", "m", "n_bins", "method"))
+@partial(jax.jit, static_argnames=("n_grid", "m", "n_bins", "method",
+                                   "interlace", "compensate"))
 def _fused_fold_sweep_device(
     particles: Particles,
     betas: jax.Array,  # (B, 3) int32
@@ -347,6 +348,8 @@ def _fused_fold_sweep_device(
     m: int,
     n_bins: int,
     method: str = "ngp",
+    interlace: bool = False,
+    compensate: bool = False,
 ):
     """Beta sweep of the fused folded momentum spectrum with the
     per-beta-invariant work HOISTED:
@@ -365,43 +368,65 @@ def _fused_fold_sweep_device(
     per-corner-phased targets per particle — exact parity with
     deposit-at-full-res -> phase -> fold).  Memory stays O(n_grid^3)
     for any total dynamic range m * n_grid.
+
+    ``interlace`` additionally folds a SECOND deposit from positions
+    shifted by half a full-resolution cell per axis and combines the
+    two transforms on the global mode lattice ``K = m t + beta``
+    (:func:`~vpower_tpu.spectrum.power.interlaced_power_from_complex`)
+    — the aliasing-image cancellation of the unfolded
+    ``power_spectrum(interlace=True)``, now at folded dynamic range.
+    ``compensate`` deconvolves the full-resolution NGP/CIC deposition
+    window ``sinc(pi K / N_total)^order`` evaluated at the same global
+    modes.  (BASELINE.md scale ceiling: "folded/interlaced spectra".)
     """
     box = particles.box_size
     folded_box = box / m
     n_total = m * n_grid
     n_cells = n_grid**3
+    comp_order = {"ngp": 1, "cic": 2}[method] if compensate else 0
 
     values = particles.vel * particles.mass[:, None]
-    ids, vals, idx_full = fold_mod.fold_scatter_targets(
-        particles.pos, values, m, box, n_grid, method=method
-    )
-    # one joint sort with payload columns (argsort + per-array gathers
-    # ran the 80M-row gathers twice over at m=4/cic)
-    n_vc = vals.shape[1]
-    res = jax.lax.sort(
-        (ids,)
-        + tuple(vals[:, c] for c in range(n_vc))
-        + tuple(idx_full[:, c].astype(jnp.float32) for c in range(3)),
-        num_keys=1,
-    )
-    ids_s = res[0]
-    values_s = jnp.stack(res[1:1 + n_vc], axis=1)
-    qidx_s = jnp.stack(res[1 + n_vc:4 + n_vc], axis=1)
-
-    # The deposit plan depends only on the sorted ids: hoisted out of
-    # the beta scan alongside the sort (one plan serves every beta).
     use_mxu = (jax.default_backend() == "tpu"
                and mxu_scatter.mxu_supported(n_grid))
-    deposit_plan = (
-        mxu_scatter.make_deposit_plan(ids_s, n_cells) if use_mxu else None
-    )
+
+    def targets(pos):
+        """Sorted phased-scatter targets + deposit plan for one
+        deposit (hoisted out of the beta scan; the interlaced second
+        deposit gets its own, from the shifted positions)."""
+        ids, vals, idx_full = fold_mod.fold_scatter_targets(
+            pos, values, m, box, n_grid, method=method
+        )
+        # one joint sort with payload columns (argsort + per-array
+        # gathers ran the 80M-row gathers twice over at m=4/cic)
+        n_vc = vals.shape[1]
+        res = jax.lax.sort(
+            (ids,)
+            + tuple(vals[:, c] for c in range(n_vc))
+            + tuple(idx_full[:, c].astype(jnp.float32) for c in range(3)),
+            num_keys=1,
+        )
+        ids_s = res[0]
+        values_s = jnp.stack(res[1:1 + n_vc], axis=1)
+        qidx_s = jnp.stack(res[1 + n_vc:4 + n_vc], axis=1)
+        # The deposit plan depends only on the sorted ids: one plan
+        # serves every beta.
+        plan = (mxu_scatter.make_deposit_plan(ids_s, n_cells)
+                if use_mxu else None)
+        return ids_s, values_s, qidx_s, plan
+
+    tgt = [targets(particles.pos)]
+    if interlace:
+        cell_total = box / n_total
+        tgt.append(targets((particles.pos + cell_total / 2.0) % box))
 
     kmin = 2.0 * jnp.pi / box
+    idx1 = jax.lax.iota(jnp.int32, n_grid)
+    wrapped = jnp.where(idx1 < (n_grid + 1) // 2, idx1, idx1 - n_grid)
 
-    # Bin on the GLOBAL lattice: kmin/spacing from the full box.
-    def one_beta(carry, beta):
-        psum_acc, nsamp_acc = carry
-        theta = (2.0 * jnp.pi / n_total) * (qidx_s @ beta.astype(jnp.float32))
+    def fold_grid(beta, ids_s, values_s, qidx_s, plan):
+        theta = (2.0 * jnp.pi / n_total) * (
+            qidx_s @ beta.astype(jnp.float32)
+        )
         cosw = jnp.cos(theta)[:, None] * values_s
         sinw = -jnp.sin(theta)[:, None] * values_s
         n_ch = values_s.shape[1]
@@ -409,20 +434,45 @@ def _fused_fold_sweep_device(
             # re/im as 2C channels of ONE MXU deposit (the phased
             # scatter-add is the per-beta hot spot).
             g6 = mxu_scatter.deposit_planned(
-                deposit_plan, jnp.concatenate([cosw, sinw], axis=1),
+                plan, jnp.concatenate([cosw, sinw], axis=1),
                 n_cells,
             ).reshape(2 * n_ch, n_grid, n_grid, n_grid)
-            grid = jax.lax.complex(g6[:n_ch], g6[n_ch:])
-        else:
-            g_re = jax.ops.segment_sum(cosw, ids_s, num_segments=n_cells,
-                                       indices_are_sorted=True)
-            g_im = jax.ops.segment_sum(sinw, ids_s, num_segments=n_cells,
-                                       indices_are_sorted=True)
-            grid = jax.lax.complex(
-                g_re.T.reshape((n_ch,) + (n_grid,) * 3),
-                g_im.T.reshape((n_ch,) + (n_grid,) * 3),
+            return jax.lax.complex(g6[:n_ch], g6[n_ch:])
+        g_re = jax.ops.segment_sum(cosw, ids_s, num_segments=n_cells,
+                                   indices_are_sorted=True)
+        g_im = jax.ops.segment_sum(sinw, ids_s, num_segments=n_cells,
+                                   indices_are_sorted=True)
+        return jax.lax.complex(
+            g_re.T.reshape((n_ch,) + (n_grid,) * 3),
+            g_im.T.reshape((n_ch,) + (n_grid,) * 3),
+        )
+
+    # Bin on the GLOBAL lattice: kmin/spacing from the full box.
+    def one_beta(carry, beta):
+        psum_acc, nsamp_acc = carry
+        grid = fold_grid(beta, *tgt[0])
+        # global per-axis modes K_a = m * t_a + beta_a (signed t)
+        kf = [m * wrapped.astype(grid.real.dtype)
+              + beta[a].astype(grid.real.dtype) for a in range(3)]
+        if interlace:
+            grid2 = fold_grid(beta, *tgt[1])
+            th = (jnp.pi / n_total) * (
+                kf[0][:, None, None] + kf[1][None, :, None]
+                + kf[2][None, None, :]
             )
-        p_grid = power_mod.vector_power_from_complex(grid, folded_box)
+            p_grid = power_mod.interlaced_power_from_complex(
+                grid, grid2, folded_box, th
+            )
+        else:
+            p_grid = power_mod.vector_power_from_complex(grid, folded_box)
+        if comp_order > 0:
+            x = [jnp.pi * k / n_total for k in kf]
+            s = [jnp.where(xi != 0,
+                           jnp.sin(xi) / jnp.where(xi != 0, xi, 1.0),
+                           1.0) ** comp_order for xi in x]
+            w = (s[0][:, None, None] * s[1][None, :, None]
+                 * s[2][None, None, :])
+            p_grid = p_grid / (w * w)
         kshift = 2.0 * jnp.pi * beta.astype(p_grid.dtype) / box
         bins = power_mod.bin_grid_local(
             p_grid.shape, n_grid, folded_box, float(kmin), float(kmin),
@@ -432,11 +482,11 @@ def _fused_fold_sweep_device(
         psum, nsamp = power_mod._cascade_bin(p_grid, bins, n_bins)
         return (psum_acc + psum, nsamp_acc + nsamp), None
 
-    zeros = jnp.zeros((n_bins,), values_s.dtype)
+    zeros = jnp.zeros((n_bins,), tgt[0][1].dtype)
     (psum, nsamp), _ = jax.lax.scan(
         one_beta, (zeros, zeros), betas
     )
-    k_centers = kmin + kmin * jnp.arange(n_bins, dtype=values_s.dtype)
+    k_centers = kmin + kmin * jnp.arange(n_bins, dtype=tgt[0][1].dtype)
     return k_centers, psum, nsamp
 
 
@@ -447,6 +497,8 @@ def fused_fold_full_spectrum(
     beta_sequence: Optional[np.ndarray] = None,
     beta_batch: int = 8,
     method: str = "ngp",
+    interlace: bool = False,
+    compensate: bool = False,
 ) -> PowerSpectrum:
     """The COMBINED momentum spectrum over a beta sweep with fold, sort
     and compile hoisted out of the beta loop — the production path for
@@ -479,7 +531,7 @@ def fused_fold_full_spectrum(
         # keep at most two distinct shapes (full batch + remainder)
         k, psum, nsamp = _fused_fold_sweep_device(
             particles, jnp.asarray(chunk), int(n_grid), int(m), n_bins,
-            method=method,
+            method=method, interlace=interlace, compensate=compensate,
         )
         psum_tot += np.asarray(psum, np.float64)
         nsamp_tot += np.asarray(nsamp, np.float64)
@@ -496,6 +548,8 @@ def fused_fold_spectrum(
     m: int,
     beta: Sequence[int],
     method: str = "ngp",
+    interlace: bool = False,
+    compensate: bool = False,
 ) -> PowerSpectrum:
     """Momentum sub-spectrum with fold+phase fused into deposition
     (``method`` = ``ngp`` | ``cic``).
@@ -503,7 +557,9 @@ def fused_fold_spectrum(
     ``n_grid`` is the size of the FOLDED grid, so memory is
     O((n_grid)^3) regardless of the total dynamic range ``m * n_grid``
     — the property the reference's brick/MPI machinery existed to
-    provide (SURVEY.md §3.3-3.4).
+    provide (SURVEY.md §3.3-3.4).  ``interlace`` / ``compensate``
+    cancel / deconvolve the deposition-window aliasing on the global
+    mode lattice (see :func:`_fused_fold_sweep_device`).
     """
     beta = tuple(int(b) for b in beta)
     cell = particles.box_size / (m * n_grid)
@@ -512,7 +568,7 @@ def fused_fold_spectrum(
     n_bins = int((kmax - kmin) / kmin) + 1
     k, psum, nsample = _fused_fold_sweep_device(
         particles, jnp.asarray([beta], jnp.int32), int(n_grid), int(m),
-        n_bins, method=method,
+        n_bins, method=method, interlace=interlace, compensate=compensate,
     )
     return PowerSpectrum.from_binned(
         np.asarray(k), np.asarray(psum), np.asarray(nsample), m=int(m), beta=beta

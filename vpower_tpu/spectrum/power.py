@@ -34,6 +34,7 @@ __all__ = [
     "scalar_power_from_complex",
     "cross_power",
     "interlaced_vector_power",
+    "interlaced_power_from_complex",
     "window_compensation",
     "bin_grid",
     "shell_bin",
@@ -148,6 +149,29 @@ def interlaced_vector_power(
     acc = None
     for c in range(v.shape[0]):
         fk = 0.5 * (jnp.fft.fftn(v[c]) + phase * jnp.fft.fftn(v_shifted[c]))
+        p = 0.5 * (jnp.real(fk) ** 2 + jnp.imag(fk) ** 2)
+        acc = p if acc is None else acc + p
+    return acc * (a * a)
+
+
+def interlaced_power_from_complex(
+    f1: jax.Array, f2: jax.Array, box_size: float, theta: jax.Array
+) -> jax.Array:
+    """Interlaced power grid of two complex CHANNELS-FIRST (C, N, N, N)
+    fields — the FOLDED-pipeline form of :func:`interlaced_vector_power`:
+    ``f2`` is the fold-accumulated deposit of positions shifted by half
+    a FULL-RESOLUTION cell per axis, and ``theta`` is the alignment
+    angle ``pi * (Kx + Ky + Kz) / N_total`` evaluated on the GLOBAL mode
+    lattice ``K = m * t + beta`` (the half-cell shift multiplies true
+    modes by ``e^{+i K . delta}``, so ``F2`` is rotated back by
+    ``e^{-i theta}`` before averaging; odd aliasing images of the
+    deposition window pick up ``e^{i pi j}`` and cancel)."""
+    n_grid = f1.shape[-1]
+    a = power_norm(box_size, n_grid)
+    phase = jax.lax.complex(jnp.cos(theta), -jnp.sin(theta))
+    acc = None
+    for c in range(f1.shape[0]):
+        fk = 0.5 * (jnp.fft.fftn(f1[c]) + phase * jnp.fft.fftn(f2[c]))
         p = 0.5 * (jnp.real(fk) ** 2 + jnp.imag(fk) ** 2)
         acc = p if acc is None else acc + p
     return acc * (a * a)
