@@ -184,3 +184,35 @@ def test_fused_fold_cic_sweep_reconstructs_unfolded():
     np.testing.assert_allclose(combined.Nsample[:n], s_direct.Nsample[:n])
     np.testing.assert_allclose(combined.Psum[:n], s_direct.Psum[:n],
                                rtol=2e-4, atol=1e-12)
+
+
+@pytest.mark.fast
+def test_beta_half_space_reconstructs_full_sweep():
+    """P(-K) = P(K) for a real field, so conjugate-pair betas bin
+    IDENTICAL folded sub-spectra and the half-space representatives
+    with multiplicity weights reproduce the full m^3 sweep exactly —
+    the algebraic 2x that lets the full 2048-range sweep compute
+    (m^3 + 8) / 2 betas instead of the reference's complete loop
+    (``scripts/parallel_optimized.py:323, 470-487``)."""
+    from vpower_tpu import beta_half_space, streamed_folded_sweep
+
+    m = 3
+    betas_h, w = beta_half_space(m)
+    assert len(betas_h) == (m**3 + 1) // 2 and int(w.sum()) == m**3
+
+    key = jax.random.PRNGKey(21)
+    particles = synthetic_particles(key, 12, box_size=1.0, jitter=0.4)
+    full = streamed_folded_sweep(particles, 4, m, quantity="velocity",
+                                 method="cic", beta_batch=9)
+    # conjugate pairs bin identical spectra
+    sA, sB = full[(1, 2, 0)], full[(2, 1, 0)]
+    np.testing.assert_array_equal(sA.Nsample, sB.Nsample)
+    np.testing.assert_allclose(sA.Psum, sB.Psum, rtol=2e-5, atol=1e-30)
+    # weighted half-space combine == full combine
+    half = streamed_folded_sweep(particles, 4, m, quantity="velocity",
+                                 method="cic", beta_sequence=betas_h,
+                                 beta_batch=9)
+    a = full.combine_all()
+    b = half.combine_weighted(w)
+    np.testing.assert_allclose(b.Nsample, a.Nsample, rtol=1e-12)
+    np.testing.assert_allclose(b.Psum, a.Psum, rtol=2e-5, atol=1e-30)

@@ -46,6 +46,7 @@ from .spectrum.spectrum import (
     SpectrumList,
     relative_diff,
     empty_spectrum_like,
+    beta_half_space,
     init_beta_space,
     random_beta_sequence,
 )
@@ -80,6 +81,7 @@ __all__ = [
     "SpectrumList",
     "relative_diff",
     "empty_spectrum_like",
+    "beta_half_space",
     "init_beta_space",
     "random_beta_sequence",
     "check_conservation",

@@ -676,6 +676,109 @@ def _add_inplace_impl(a: jax.Array, b: jax.Array) -> jax.Array:
 _add_inplace = _backend_jit(_add_inplace_impl, donate=("a",))
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "pad", "n_grid", "n_ext", "margin_cells", "ext_box", "cell",
+        "quantity", "exact", "certify", "want_lo",
+    ),
+)
+def _nn_chunk_values(
+    rows: jax.Array,     # (R + pad, 7) device candidate rows
+    starts: jax.Array,   # (m^3,) int32
+    counts: jax.Array,   # (m^3,) int32
+    qs: jax.Array,       # (chunk,) int32 block ids to compute
+    pad: int,
+    n_grid: int,
+    n_ext: int,
+    margin_cells: int,
+    ext_box: float,
+    cell: float,
+    quantity: str,
+    exact: bool,
+    certify: bool,
+    want_lo: bool,
+):
+    """A CHUNK of blocks' field values in ONE dispatch — a ``lax.scan``
+    over block ids (the round-3 record spent ~30% of its wall time on
+    per-block host dispatch; the distributed path already scanned
+    blocks, this is the same shape single-device).  Returns
+    ``(vals (chunk, C, n_grid^3) f32, lo, nsus (chunk,) i32)`` where
+    ``lo`` is a float16 copy for the host block cache (``want_lo``;
+    halves the device->host pull) or a per-step scalar placeholder."""
+    n_ch = 1 if quantity == "energy" else 3
+
+    def body(_, q):
+        cand = jax.lax.dynamic_slice(
+            rows, (starts[q], jnp.int32(0)), (pad, rows.shape[1])
+        )
+        out = _nn_block_values(
+            cand, counts[q], n_grid, n_ext, margin_cells, ext_box,
+            cell, quantity, exact, certify=certify,
+        )
+        if certify:
+            vals, nsus = out[0], out[1]
+        else:
+            vals, nsus = out, jnp.int32(0)
+        vals = vals.reshape(n_ch, n_grid**3)
+        lo = vals.astype(jnp.float16) if want_lo else jnp.float16(0.0)
+        return None, (vals, lo, nsus)
+
+    _, (vals, lo, nsus) = jax.lax.scan(body, None, qs)
+    return vals, lo, nsus
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_grid", "n_total", "box", "method", "quantity", "s_max",
+        "want_lo",
+    ),
+)
+def _scatter_chunk_values(
+    pos, vel, mass, qs, n_grid, n_total, box, method, quantity,
+    h=None, s_max: int = 1, want_lo: bool = False,
+):
+    """Scatter-method counterpart of :func:`_nn_chunk_values` (same
+    one-dispatch-per-chunk contract, no certificate)."""
+    m = n_total // n_grid
+    n_ch = 1 if quantity == "energy" else 3
+
+    def body(_, q):
+        qv = jnp.stack([q // (m * m), (q // m) % m, q % m]).astype(
+            jnp.int32
+        )
+        vals = _scatter_block_values(
+            pos, vel, mass, qv, n_grid, n_total, box, method, quantity,
+            h=h, s_max=s_max,
+        ).reshape(n_ch, n_grid**3)
+        lo = vals.astype(jnp.float16) if want_lo else jnp.float16(0.0)
+        return None, (vals, lo)
+
+    _, (vals, lo) = jax.lax.scan(body, None, qs)
+    return vals, lo
+
+
+def _accumulate_chunk_impl(
+    acc_re: jax.Array, acc_im: jax.Array,  # (B, C, n^3) f32
+    vals: jax.Array,                       # (Q, C, n^3) f32/f16
+    s_re: jax.Array, s_im: jax.Array,      # (B, Q) f32
+) -> Tuple[jax.Array, jax.Array]:
+    """acc += s @ vals over a whole block chunk — one read/write of the
+    accumulators per CHUNK instead of per block."""
+    v = vals.astype(jnp.float32).reshape(vals.shape[0], -1)
+    sh = acc_re.shape
+    return (
+        (acc_re.reshape(sh[0], -1) + s_re @ v).reshape(sh),
+        (acc_im.reshape(sh[0], -1) + s_im @ v).reshape(sh),
+    )
+
+
+_accumulate_chunk = _backend_jit(
+    _accumulate_chunk_impl, donate=("acc_re", "acc_im")
+)
+
+
 @partial(jax.jit, donate_argnames=("acc_re", "acc_im"))
 def _accumulate(
     acc_re: jax.Array, acc_im: jax.Array,  # (B, C, n^3) float32 each
@@ -877,6 +980,8 @@ def streamed_folded_sweep(
                 _block_candidates_device(
                     particles, m, n_grid, margin_cells
                 )
+            starts_dev = jnp.asarray(starts, jnp.int32)
+            counts_dev = jnp.asarray(counts, jnp.int32)
             float(jnp.sum(rows_d[0]))  # sync so the stage time is honest
         if stage_times is not None:
             stage_times["candidates_s"] = round(_time.time() - _t0, 2)
@@ -1130,6 +1235,21 @@ def streamed_folded_sweep(
 
     stats = {"suspect_cells": 0, "escalated_blocks": 0,
              "uncertified_cells": 0}
+    # Chunked device-side block loop (single device, jittable block
+    # program): a lax.scan over `block_chunk` blocks per dispatch, one
+    # einsum accumulate and ONE certificate sync per chunk — the
+    # per-block host dispatch/settle overhead was ~30% of the round-3
+    # 2048-range record.  Round-robin multi-device and the
+    # host-orchestrated exact window sweep keep the per-block loop.
+    use_chunks = not multi and not (method == "nn" and exact)
+    if use_chunks:
+        per_block = n_ch * n_grid**3 * 4
+        width = per_block * (1.5 if (cache and cache_dtype == np.float16)
+                             else 1.0)
+        block_chunk = 1
+        while (block_chunk < 8 and block_chunk * 2 <= n_blocks
+               and block_chunk * 2 * width <= 1.6e9):
+            block_chunk *= 2
     spectra: List[PowerSpectrum] = []
     n_batches = (len(betas_np) + beta_batch - 1) // beta_batch
     for bi in range(n_batches):
@@ -1151,64 +1271,205 @@ def streamed_folded_sweep(
             acc_re = jnp.zeros(shape, jnp.float32)
             acc_im = jnp.zeros(shape, jnp.float32)
 
-        def settle(entry):
-            """Certify (escalating if needed), cache, and fold-accumulate
-            one block.  Called one block BEHIND the dispatch loop so the
-            certificate read syncs against already-finished work."""
-            nonlocal acc_re, acc_im
-            q, vals, nsus = entry
-            if nsus is not None:
-                n_bad = int(nsus)
-                if n_bad:
-                    stats["suspect_cells"] += n_bad
+        if use_chunks:
+            want_lo = bool(cache) and cache_dtype == np.float16
+            fresh = [q for q in range(n_blocks)
+                     if not (cache and _cache_has(q))]
+            done_qs = [q for q in range(n_blocks)
+                       if cache and _cache_has(q)]
+
+            def _pad_group(group):
+                qs = np.full((block_chunk,), group[-1], np.int32)
+                qs[: len(group)] = group
+                return qs
+
+            def _s_matrix(qs, zero_cols=()):
+                qv = np.stack(
+                    [qs // (m * m), (qs // m) % m, qs % m], axis=1
+                ).astype(np.float64)
+                s = np.exp(
+                    -2j * np.pi * (batch.astype(np.float64) @ qv.T) / m
+                ) / m**1.5
+                zero_cols = list(zero_cols)
+                if zero_cols:
+                    s[:, zero_cols] = 0.0
+                return (jnp.asarray(s.real, jnp.float32),
+                        jnp.asarray(s.imag, jnp.float32))
+
+            def compute_chunk(group):
+                qs = _pad_group(group)
+                if method == "nn":
+                    vals, lo, nsus = _nn_chunk_values(
+                        rows_d, starts_dev, counts_dev,
+                        jnp.asarray(qs), pad=pad, n_grid=n_grid,
+                        n_ext=n_ext, margin_cells=margin_cells,
+                        ext_box=float(ext_box_grid),
+                        cell=float(cell_total), quantity=quantity,
+                        exact=exact, certify=certify, want_lo=want_lo,
+                    )
+                else:
+                    vals, lo = _scatter_chunk_values(
+                        pos_d, vel_d, mass_d, jnp.asarray(qs),
+                        n_grid, n_total, box, method, quantity,
+                        h=h_d, want_lo=want_lo,
+                    )
+                    nsus = None
+                return (group, qs, vals, lo, nsus)
+
+            def settle_chunk(entry):
+                nonlocal acc_re, acc_im
+                group, qs, vals, lo, nsus = entry
+                bad = []
+                if nsus is not None and certify:
+                    nsus_np = np.asarray(nsus)  # ONE sync per chunk
+                    bad = [(i, q, int(nsus_np[i]))
+                           for i, q in enumerate(group)
+                           if int(nsus_np[i])]
+                zero = (list(range(len(group), block_chunk))
+                        + [i for i, _, _ in bad])
+                s_re, s_im = _s_matrix(qs, zero)
+                acc_re, acc_im = _accumulate_chunk(
+                    acc_re, acc_im, vals, s_re, s_im
+                )
+                vals_host = None
+                if cache:
+                    vals_host = np.asarray(lo if want_lo else vals)
+                badset = set()
+                for i, q, nb in bad:
+                    badset.add(q)
+                    stats["suspect_cells"] += nb
                     stats["escalated_blocks"] += 1
-                    vals, left = escalate_block(q)
+                    v_esc, left = escalate_block(q)
                     stats["uncertified_cells"] += left
-            if cache and not _cache_has(q):
-                _cache_put(q, vals)
-            qv = np.array([q // (m * m), (q // m) % m, q % m], np.float64)
-            s = np.exp(-2j * np.pi * (batch @ qv) / m) / m**1.5
-            s_re = jnp.asarray(s.real, jnp.float32)
-            s_im = jnp.asarray(s.imag, jnp.float32)
-            if multi:
-                k = q % n_dev
-                accs[k] = _accumulate(accs[k][0], accs[k][1], vals,
-                                      s_re, s_im)
-            else:
-                acc_re, acc_im = _accumulate(acc_re, acc_im, vals,
-                                             s_re, s_im)
+                    qv = np.array(
+                        [q // (m * m), (q // m) % m, q % m], np.float64
+                    )
+                    s = np.exp(-2j * np.pi * (batch @ qv) / m) / m**1.5
+                    acc_re, acc_im = _accumulate(
+                        acc_re, acc_im, v_esc,
+                        jnp.asarray(s.real, jnp.float32),
+                        jnp.asarray(s.imag, jnp.float32),
+                    )
+                    if cache and not _cache_has(q):
+                        _cache_put(q, v_esc)
+                if cache:
+                    for i, q in enumerate(group):
+                        if q not in badset and not _cache_has(q):
+                            _cache_put(q, vals_host[i])
 
-        # in-flight depth: settling an entry host-syncs (certificate
-        # read / cache pull), so keep one dispatched block per device
-        # ahead of the settle point — the single-device case reduces to
-        # the classic one-block lookahead
-        from collections import deque
+            pending = None
+            n_done = 0
+            for g0 in range(0, len(fresh), block_chunk):
+                group = fresh[g0: g0 + block_chunk]
+                entry = compute_chunk(group)
+                if cache:
+                    # start the device->host pull now so it overlaps the
+                    # NEXT chunk's compute instead of stalling settle()
+                    src = entry[3] if want_lo else entry[2]
+                    getattr(src, "copy_to_host_async", lambda: None)()
+                if pending is not None:
+                    settle_chunk(pending)
+                pending = entry
+                n_done += len(group)
+                if progress is not None:
+                    progress(bi, n_batches, n_done - 1, n_blocks)
+            if pending is not None:
+                settle_chunk(pending)
 
-        depth = max(1, n_dev)
-        pending = deque()
-        for q in range(n_blocks):
-            if cache and _cache_has(q):
-                cached = np.asarray(_cache_get(q), np.float32)
-                v = (jax.device_put(cached, devices[q % n_dev])
-                     if multi else jnp.asarray(cached))
-                entry = (q, v, None)
-            elif certify:
-                vals, nsus = block_values(q)
-                entry = (q, vals, nsus)
-            else:
-                entry = (q, block_values(q), None)
-            if cache and not _cache_has(q):
-                # start the device->host copy for the cache now, so it
-                # overlaps the NEXT block's compute instead of stalling
-                # settle() (no-op where the platform lacks async copies)
-                getattr(entry[1], "copy_to_host_async", lambda: None)()
-            pending.append(entry)
-            if len(pending) > depth:
+            if done_qs:
+                # cached blocks: double-buffered disk/host reads feeding
+                # chunked device accumulates (extra beta batches cost
+                # cache IO + one matmul per chunk, no deposition)
+                import concurrent.futures as _cf
+
+                groups = [done_qs[g0: g0 + block_chunk]
+                          for g0 in range(0, len(done_qs), block_chunk)]
+
+                def read_group(group):
+                    arr = np.zeros((block_chunk, n_ch, n_grid**3),
+                                   cache_dtype)
+                    for i, q in enumerate(group):
+                        arr[i] = _cache_get(q)
+                    return arr
+
+                with _cf.ThreadPoolExecutor(1) as ex:
+                    fut = ex.submit(read_group, groups[0])
+                    for gi, group in enumerate(groups):
+                        arr = fut.result()
+                        if gi + 1 < len(groups):
+                            fut = ex.submit(read_group, groups[gi + 1])
+                        s_re, s_im = _s_matrix(
+                            _pad_group(group),
+                            range(len(group), block_chunk),
+                        )
+                        acc_re, acc_im = _accumulate_chunk(
+                            acc_re, acc_im, jnp.asarray(arr), s_re, s_im
+                        )
+                        n_done += len(group)
+                        if progress is not None:
+                            progress(bi, n_batches, n_done - 1, n_blocks)
+        else:
+            def settle(entry):
+                """Certify (escalating if needed), cache, and
+                fold-accumulate one block.  Called one block BEHIND the
+                dispatch loop so the certificate read syncs against
+                already-finished work."""
+                nonlocal acc_re, acc_im
+                q, vals, nsus = entry
+                if nsus is not None:
+                    n_bad = int(nsus)
+                    if n_bad:
+                        stats["suspect_cells"] += n_bad
+                        stats["escalated_blocks"] += 1
+                        vals, left = escalate_block(q)
+                        stats["uncertified_cells"] += left
+                if cache and not _cache_has(q):
+                    _cache_put(q, vals)
+                qv = np.array([q // (m * m), (q // m) % m, q % m],
+                              np.float64)
+                s = np.exp(-2j * np.pi * (batch @ qv) / m) / m**1.5
+                s_re = jnp.asarray(s.real, jnp.float32)
+                s_im = jnp.asarray(s.imag, jnp.float32)
+                if multi:
+                    k = q % n_dev
+                    accs[k] = _accumulate(accs[k][0], accs[k][1], vals,
+                                          s_re, s_im)
+                else:
+                    acc_re, acc_im = _accumulate(acc_re, acc_im, vals,
+                                                 s_re, s_im)
+
+            # in-flight depth: settling an entry host-syncs (certificate
+            # read / cache pull), so keep one dispatched block per device
+            # ahead of the settle point — the single-device case reduces
+            # to the classic one-block lookahead
+            from collections import deque
+
+            depth = max(1, n_dev)
+            pending = deque()
+            for q in range(n_blocks):
+                if cache and _cache_has(q):
+                    cached = np.asarray(_cache_get(q), np.float32)
+                    v = (jax.device_put(cached, devices[q % n_dev])
+                         if multi else jnp.asarray(cached))
+                    entry = (q, v, None)
+                elif certify:
+                    vals, nsus = block_values(q)
+                    entry = (q, vals, nsus)
+                else:
+                    entry = (q, block_values(q), None)
+                if cache and not _cache_has(q):
+                    # start the device->host copy for the cache now, so
+                    # it overlaps the NEXT block's compute instead of
+                    # stalling settle() (no-op where the platform lacks
+                    # async copies)
+                    getattr(entry[1], "copy_to_host_async", lambda: None)()
+                pending.append(entry)
+                if len(pending) > depth:
+                    settle(pending.popleft())
+                if progress is not None:
+                    progress(bi, n_batches, q, n_blocks)
+            while pending:
                 settle(pending.popleft())
-            if progress is not None:
-                progress(bi, n_batches, q, n_blocks)
-        while pending:
-            settle(pending.popleft())
 
         if multi:
             # batch-end combine: per-device partial accumulators summed

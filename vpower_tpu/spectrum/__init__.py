@@ -13,6 +13,7 @@ from .spectrum import (
     SpectrumList,
     relative_diff,
     empty_spectrum_like,
+    beta_half_space,
     init_beta_space,
     random_beta_sequence,
     high_pass_filter_2d,
@@ -24,7 +25,8 @@ __all__ = [
     "vector_power_from_complex", "scalar_power_from_complex",
     "bin_grid", "shell_bin", "default_k_bins",
     "PowerSpectrum", "SpectrumList", "relative_diff",
-    "empty_spectrum_like", "init_beta_space", "random_beta_sequence",
+    "beta_half_space", "empty_spectrum_like", "init_beta_space",
+    "random_beta_sequence",
     "high_pass_filter_2d",
     "fold",
 ]

@@ -339,6 +339,21 @@ class SpectrumList:
             combined.add(s)
         return combined
 
+    def combine_weighted(self, weights) -> PowerSpectrum:
+        """Multiplicity-weighted combine: sub-spectrum i contributes
+        ``weights[i]`` copies of its Psum/Nsample.  With
+        :func:`beta_half_space` representatives and weights this equals
+        the FULL m^3 sweep's :meth:`combine_all` exactly (conjugate
+        sub-spectra are identical — the field is real)."""
+        if len(weights) != len(self.list):
+            raise ValueError("one weight per sub-spectrum required")
+        combined = empty_spectrum_like(self.list[0])
+        for w, s in zip(weights, self.list):
+            combined.Psum = combined.Psum + float(w) * s.Psum
+            combined.Nsample = combined.Nsample + float(w) * s.Nsample
+        combined.P = _esd(combined.Psum, combined.Nsample, combined.k)
+        return combined
+
     def combine_from_beta_sequence(self, beta_sequence=None) -> PowerSpectrum:
         """Combine a (possibly partial) beta subset — an unbiased, noisier
         estimate (reference ``spctrm.py:284-291``)."""
@@ -416,6 +431,31 @@ def init_beta_space(m: int) -> np.ndarray:
     ``spctrm.py:366-372``)."""
     b = np.arange(m)
     return np.array(np.meshgrid(b, b, b, indexing="ij")).T.reshape(-1, 3)
+
+
+def beta_half_space(m: int):
+    """``(betas (K, 3), weights (K,))``: one representative per
+    conjugate pair of the {0..m-1}^3 beta lattice, with multiplicity.
+
+    The full-resolution field is REAL, so its power grid satisfies
+    P(-K) = P(K) on the global mode lattice; the sub-lattice a folded
+    run samples for ``-beta mod m`` is the negation of ``beta``'s, and
+    shell binning is |K|-symmetric — so the binned sub-spectra of a
+    conjugate pair are IDENTICAL (``tests/test_fold.py`` asserts this).
+    A full m^3 sweep (the complete beta loop of the reference's
+    ``scripts/parallel_optimized.py:323, 470-487``) therefore only
+    needs the (m^3 + s)/2 representatives returned here, where s = 8
+    (even m) or 1 (odd m) betas are self-conjugate; combining with
+    ``weights`` reproduces the full sweep's Psum/Nsample exactly —
+    a 2x saving on the dominant deposition passes.
+    """
+    betas = init_beta_space(m)
+    neg = (-betas) % m
+    key = betas[:, 0] * m * m + betas[:, 1] * m + betas[:, 2]
+    key_neg = neg[:, 0] * m * m + neg[:, 1] * m + neg[:, 2]
+    keep = key <= key_neg
+    weights = np.where(key[keep] == key_neg[keep], 1, 2)
+    return betas[keep], weights.astype(np.int64)
 
 
 def random_beta_sequence(m: int, seed: int = 1) -> np.ndarray:
