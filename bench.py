@@ -99,6 +99,17 @@ def main():
     k, psum, nsample = run(particles)
     float(np.asarray(psum)[0])
 
+    # XLA's own bytes-accessed for the compiled pipeline (a MEASURED
+    # traffic figure, unlike the hand model below; may be unavailable
+    # on some remote-execution platforms)
+    try:
+        ca = run.lower(particles).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        xla_bytes = float(ca.get("bytes accessed", float("nan")))
+    except Exception:  # noqa: BLE001
+        xla_bytes = float("nan")
+
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -139,6 +150,12 @@ def main():
                 # proxy against the v5e's ~820 GB/s
                 "hbm_gb_per_s_est": round(
                     _pipeline_bytes_moved() / value / 1e9, 1
+                ),
+                # XLA-reported bytes accessed / wall (measured, not
+                # modeled); None where cost_analysis is unsupported
+                "hbm_gb_per_s_xla": (
+                    round(xla_bytes / value / 1e9, 1)
+                    if np.isfinite(xla_bytes) else None
                 ),
                 "range1024_s": round(range1024_s, 2),
                 "range1024_target_s": 10.0,

@@ -429,6 +429,164 @@ long long block_candidates(const float* pos, const float* vel,
   return total;
 }
 
+// Candidate rows of ONE block at an arbitrary margin — the escalation
+// path of the margin certificate (vpower_tpu/run/streamed.py:
+// _single_block_rows): the pre-sorted runs were built for the base
+// margin, so an escalated block re-selects from the full particle set.
+// The numpy fallback rescans 10M rows per escalated block in Python;
+// this is the same selection at C speed: a branchy per-axis INTERVAL
+// prefilter rejects ~99% of particles on the first axis with 1-2
+// compares, and only survivors pay the exact float64 wrap arithmetic
+// that bit-matches the numpy builder.
+//
+// Single pass: writes up to `cap` rows of [rel_xyz, vel, rho] and
+// returns the TRUE count (callers retry with a larger buffer when the
+// return exceeds cap; rows == NULL counts only).
+long long single_block_rows(const float* pos, const float* vel,
+                            const float* rho, long long n, int m,
+                            double box, double margin_phys,
+                            int qx, int qy, int qz, float* rows,
+                            long long cap) {
+  const double bs = box / m;
+  const double ext = bs + 2.0 * margin_phys;
+  const double lo[3] = {qx * bs, qy * bs, qz * bs};
+  // prefilter intervals [a0, a0 + ext) mod box, slackened so FP
+  // rounding can never reject a true member (confirmed exactly below)
+  const double slack = 4e-7 * box;
+  double a0[3], a1[3];
+  bool wrap[3];
+  for (int a = 0; a < 3; a++) {
+    double s0 = lo[a] - margin_phys - slack;
+    double s1 = lo[a] - margin_phys + ext + slack;
+    if (s0 < 0) { s0 += box; }
+    if (s1 >= box) { s1 -= box; }
+    a0[a] = s0;
+    a1[a] = s1;
+    wrap[a] = s1 < s0;  // interval crosses the box boundary
+  }
+
+  // OpenMP: static contiguous ranges + per-thread row buffers merged
+  // in thread order keep rows in ascending particle order; the serial
+  // path below is the nthreads == 1 degenerate case of the same loop.
+  int nthreads = 1;
+#if defined(_OPENMP)
+#pragma omp parallel
+  {
+#pragma omp single
+    nthreads = omp_get_num_threads();
+  }
+#endif
+  if (nthreads > 1 && rows) {
+    std::vector<std::vector<float>> bufs(nthreads);
+    std::vector<long long> cnts(nthreads, 0);
+#pragma omp parallel
+    {
+      const int t = omp_get_thread_num();
+      std::vector<float>& buf = bufs[t];
+      long long c = 0;
+#pragma omp for schedule(static)
+      for (long long i = 0; i < n; i++) {
+        const float* P = pos + i * 3;
+        double p0 = (double)P[0];
+        bool in0 = wrap[0] ? (p0 >= a0[0] || p0 < a1[0])
+                           : (p0 >= a0[0] && p0 < a1[0]);
+        if (!in0 && p0 >= 0.0 && p0 < box) continue;
+        double p1 = (double)P[1];
+        bool in1 = wrap[1] ? (p1 >= a0[1] || p1 < a1[1])
+                           : (p1 >= a0[1] && p1 < a1[1]);
+        if (!in1 && p1 >= 0.0 && p1 < box) continue;
+        double p2 = (double)P[2];
+        bool in2 = wrap[2] ? (p2 >= a0[2] || p2 < a1[2])
+                           : (p2 >= a0[2] && p2 < a1[2]);
+        if (!in2 && p2 >= 0.0 && p2 < box) continue;
+        double rel[3];
+        bool in = true;
+        for (int a = 0; a < 3 && in; a++) {
+          double p = (double)P[a];
+          if (p < 0.0 || p >= box) {
+            p = std::fmod(p, box);
+            if (p < 0) p += box;
+          }
+          double r = p - lo[a] + margin_phys;
+          if (r < 0.0) r += box;
+          else if (r >= box) r -= box;
+          rel[a] = r;
+          if (!(r < ext)) in = false;
+        }
+        if (!in) continue;
+        buf.push_back((float)rel[0]);
+        buf.push_back((float)rel[1]);
+        buf.push_back((float)rel[2]);
+        buf.push_back(vel[i * 3 + 0]);
+        buf.push_back(vel[i * 3 + 1]);
+        buf.push_back(vel[i * 3 + 2]);
+        buf.push_back(rho[i]);
+        c++;
+      }
+      cnts[t] = c;
+    }
+    long long total = 0;
+    for (int t = 0; t < nthreads; t++) total += cnts[t];
+    if (total <= cap) {
+      long long at = 0;
+      for (int t = 0; t < nthreads; t++) {
+        std::memcpy(rows + at * 7, bufs[t].data(),
+                    (size_t)cnts[t] * 7 * sizeof(float));
+        at += cnts[t];
+      }
+    }
+    return total;
+  }
+
+  long long count = 0;
+  for (long long i = 0; i < n; i++) {
+    const float* P = pos + i * 3;
+    // axis-0 prefilter first: rejects most rows with 1-2 compares
+    double p0 = (double)P[0];
+    bool in0 = wrap[0] ? (p0 >= a0[0] || p0 < a1[0])
+                       : (p0 >= a0[0] && p0 < a1[0]);
+    if (!in0 && p0 >= 0.0 && p0 < box) continue;
+    double p1 = (double)P[1];
+    bool in1 = wrap[1] ? (p1 >= a0[1] || p1 < a1[1])
+                       : (p1 >= a0[1] && p1 < a1[1]);
+    if (!in1 && p1 >= 0.0 && p1 < box) continue;
+    double p2 = (double)P[2];
+    bool in2 = wrap[2] ? (p2 >= a0[2] || p2 < a1[2])
+                       : (p2 >= a0[2] && p2 < a1[2]);
+    if (!in2 && p2 >= 0.0 && p2 < box) continue;
+    // exact confirm (bit-parity with the numpy builder)
+    double rel[3];
+    bool in = true;
+    for (int a = 0; a < 3 && in; a++) {
+      double p = (double)P[a];
+      if (p < 0.0 || p >= box) {
+        p = std::fmod(p, box);
+        if (p < 0) p += box;
+      }
+      // conditional subtraction == fmod bit-exactly for in-range
+      // inputs (FP remainders are exact)
+      double r = p - lo[a] + margin_phys;
+      if (r < 0.0) r += box;
+      else if (r >= box) r -= box;
+      rel[a] = r;
+      if (!(r < ext)) in = false;
+    }
+    if (!in) continue;
+    if (rows && count < cap) {
+      float* r = rows + count * 7;
+      r[0] = (float)rel[0];
+      r[1] = (float)rel[1];
+      r[2] = (float)rel[2];
+      r[3] = vel[i * 3 + 0];
+      r[4] = vel[i * 3 + 1];
+      r[5] = vel[i * 3 + 2];
+      r[6] = rho[i];
+    }
+    count++;
+  }
+  return count;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------

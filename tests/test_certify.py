@@ -152,3 +152,25 @@ def test_certificate_quiet_on_dense_box():
     assert stages["escalated_blocks"] == 0
     assert stages["suspect_cells"] == 0
     assert len(sweep) == 8
+
+
+def test_native_single_block_rows_parity(monkeypatch):
+    """The threaded native escalation selector returns the same rows as
+    the numpy fallback (same count, same set, ascending particle
+    order)."""
+    from vpower_tpu.io import native as native_mod
+    from vpower_tpu.run import streamed as rs
+
+    if not native_mod.native_available():
+        pytest.skip("native host runtime unavailable")
+
+    p = _cluster_particles(5000, 0.9, seed=13)
+    for q in (0, 5, 7):
+        q3 = np.array([q // 4, (q // 2) % 2, q % 2], np.int64)
+        a, ka = rs._single_block_rows(p, q3, 2, 0.11)
+        monkeypatch.setattr(native_mod, "native_available", lambda: False)
+        b, kb = rs._single_block_rows(p, q3, 2, 0.11)
+        monkeypatch.undo()
+        assert ka == kb
+        np.testing.assert_allclose(np.asarray(a)[:ka], np.asarray(b)[:kb],
+                                   atol=1e-6)

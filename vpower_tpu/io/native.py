@@ -26,6 +26,7 @@ __all__ = [
     "brick_write_raw",
     "brick_read_raw",
     "block_candidates_host",
+    "single_block_rows_host",
 ]
 
 
@@ -103,6 +104,12 @@ def _load() -> ctypes.CDLL:
         f32p, f32p, f32p, c_ll, ctypes.c_int,
         ctypes.c_double, ctypes.c_double,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.single_block_rows.restype = c_ll
+    lib.single_block_rows.argtypes = [
+        f32p, f32p, f32p, c_ll, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p, c_ll,
     ]
     _lib = lib
     return lib
@@ -319,3 +326,37 @@ def block_candidates_host(
     if got != total:
         raise RuntimeError("block_candidates: pass disagreement")
     return rows, starts, counts, pad
+
+
+def single_block_rows_host(
+    pos: np.ndarray,
+    vel: np.ndarray,
+    rho: np.ndarray,
+    m: int,
+    box: float,
+    margin_phys: float,
+    q3,
+) -> Tuple[np.ndarray, int]:
+    """Threaded native candidate selection for ONE block at an
+    arbitrary margin — the certificate escalation path (see
+    ``run/streamed.py:_single_block_rows`` for the layout contract).
+    Returns ``(rows (k, 7) f32, k)`` in ascending particle order."""
+    lib = _load()
+    pos = np.ascontiguousarray(pos, np.float32)
+    vel = np.ascontiguousarray(vel, np.float32)
+    rho = np.ascontiguousarray(rho, np.float32)
+    n = pos.shape[0]
+    qx, qy, qz = (int(x) for x in q3)
+    # single pass with a capacity guess (expected occupancy x 3 + floor);
+    # the true count comes back, so an undersized buffer just retries
+    ext_frac = min((1.0 / m + 2.0 * margin_phys / box), 1.0) ** 3
+    cap = int(max(4096, 3.0 * ext_frac * n + 1024))
+    while True:
+        rows = np.zeros((cap, 7), np.float32)
+        k = int(lib.single_block_rows(
+            pos, vel, rho, n, m, float(box), float(margin_phys),
+            qx, qy, qz, rows.ctypes.data_as(ctypes.c_void_p), cap,
+        ))
+        if k <= cap:
+            return rows, k
+        cap = k

@@ -55,6 +55,8 @@ def distributed_streamed_sweep(
     exact: bool = False,
     certify: bool = True,
     on_spectrum=None,
+    cache_values: Optional[bool] = None,
+    stage_times: Optional[dict] = None,
 ) -> SpectrumList:
     """Folded sub-spectra of a derived field over ``mesh``, block-
     parallel.  Requires ``m**3 % n_devices == 0`` (whole blocks per
@@ -71,13 +73,28 @@ def distributed_streamed_sweep(
     per-block escalation, at pod scale.  Fast mode keeps the
     zero-sync one-jit ``shard_map`` scan below.
 
-    ``certify=True`` counts, inside the same pass, the cells whose
-    assigned neighbor reaches the candidate margin (see the margin
-    certificate in :mod:`vpower_tpu.run.streamed`) and WARNS if any —
-    per-block escalation needs host orchestration, so the distributed
-    path reports instead of re-running; rerun with a larger
-    ``margin_cells`` (or the single-chip certified sweep) if it
-    fires."""
+    ``cache_values`` (default: auto by per-device memory): compute
+    every local block's field values ONCE into a sharded device-side
+    cache — (nb_local, C, n_grid^3) float32 per device — so each beta
+    batch is a local matmul + one psum instead of a full NN/deposit
+    pass (the role the reference's gen-2 disk index buffers played,
+    ``scripts/parallel_disk.py:305-332``: query once, reuse per pass).
+    Auto-enables when the per-device cache is <= ~2 GB; pass False to
+    force per-batch recompute (O(beta_batch * n_grid^3) device memory,
+    exactly as before).
+
+    ``certify=True``: the compute pass carries a PER-BLOCK suspect-cell
+    vector out of the mesh.  With the value cache on (and a
+    single-controller mesh), offending blocks are escalated at doubled
+    margins exactly like the single-chip sweep — their cache column is
+    zeroed and the corrected values ride each batch as a replicated
+    correction term.  Without the cache (or multi-controller), the
+    count WARNS and the run proceeds (rerun with a larger
+    ``margin_cells`` if it fires).
+
+    ``stage_times``: dict out-param; receives ``suspect_cells``,
+    ``escalated_blocks``, ``uncertified_cells`` (certificate stats)
+    and ``compute_s`` / ``batches_s`` wall splits."""
     devs = np.asarray(mesh.devices).reshape(-1)
     ndev = devs.size
 
@@ -206,6 +223,178 @@ def distributed_streamed_sweep(
     else:
         raise ValueError(f"Unsupported method {method!r}")
 
+    import time as _time
+
+    single_controller = all(
+        d.process_index == jax.process_index() for d in devs
+    )
+    if cache_values is None:
+        # auto: the sharded cache costs nb_local blocks of f32 values
+        # per device — on when that is modest next to accelerator HBM
+        cache_values = nb_local * n_ch * n_grid**3 * 4 <= 2e9
+
+    def _finish_unrolled(acc_re, acc_im, betas, B):
+        ks, ps, ns = [], [], []
+        for j in range(B):      # static unroll over the beta batch
+            k, psum, nsamp = run_streamed._finish_beta(
+                acc_re[j], acc_im[j], betas[j],
+                n_grid, n_total, box, n_bins,
+            )
+            ks.append(k)
+            ps.append(psum)
+            ns.append(nsamp)
+        return ks[0], jnp.stack(ps), jnp.stack(ns)
+
+    def _emit(batch, k_np, psum, nsamp):
+        out = []
+        for j, beta in enumerate(batch):
+            s = PowerSpectrum.from_binned(
+                k_np, np.asarray(psum[j]), np.asarray(nsamp[j]),
+                m=m, beta=tuple(int(b) for b in beta),
+            )
+            out.append(s)
+            if on_spectrum is not None:
+                on_spectrum(s)  # e.g. the CLI's per-beta checkpoint
+        return out
+
+    stats = {"suspect_cells": 0, "escalated_blocks": 0,
+             "uncertified_cells": 0}
+    spectra = []
+
+    if cache_values:
+        # ---- compute pass: every block's values ONCE, sharded -------- #
+        def compute_body(*arrs):
+            d = jax.lax.axis_index("b")
+
+            def scan_body(_, i):
+                q = d * nb_local + i
+                vals, nsus = block_values(i, q, *arrs)
+                return None, (vals, nsus)
+
+            _, (vals, nsus) = jax.lax.scan(
+                scan_body, None, jnp.arange(nb_local, dtype=jnp.int32)
+            )
+            # replicate the per-block suspect vector (P("b") output
+            # shards would be unfetchable on a multi-controller mesh)
+            sus_full = jax.lax.psum(
+                jnp.zeros((n_blocks,), jnp.int32)
+                .at[d * nb_local + jnp.arange(nb_local)].set(nsus),
+                "b",
+            )
+            return vals, sus_full
+
+        _t0 = _time.time()
+        vals_cached, sus_vec = jax.jit(shard_map(
+            compute_body, mesh=flat_mesh, in_specs=arr_specs,
+            out_specs=(P("b"), P()), check_vma=False,
+        ))(*arrays)
+        sus_np = np.asarray(sus_vec)          # (m^3,) per-block counts
+        stats["suspect_cells"] = int(sus_np.sum())
+        if stage_times is not None:
+            stage_times["compute_s"] = round(_time.time() - _t0, 2)
+
+        # ---- escalate offending blocks (single-controller) ----------- #
+        offenders = [int(q) for q in np.nonzero(sus_np)[0]]
+        corr = None
+        corr_qs = []
+        if offenders and certify:
+            if single_controller and method == "nn":
+                margin_max = (n_total - n_grid) // 2
+                cell_total = box / n_total
+                fixed = []
+                for q in offenders:
+                    v_esc, left = run_streamed._escalate_block(
+                        particles, q, m, n_grid, margin_cells,
+                        margin_max, cell_total, quantity, exact,
+                        device=devs[q // nb_local],
+                    )
+                    stats["escalated_blocks"] += 1
+                    stats["uncertified_cells"] += left
+                    fixed.append(np.asarray(v_esc, np.float32))
+                corr = jnp.asarray(np.stack(fixed))   # (n_corr, C, n^3)
+                corr_qs = offenders
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"{int(sus_np.sum())} cells in {len(offenders)} "
+                    f"blocks could not be margin-certified "
+                    f"(margin_cells={margin_cells}); escalation needs "
+                    f"single-controller NN — rerun with a larger "
+                    f"margin_cells or on one controller.",
+                    stacklevel=2,
+                )
+
+        # ---- per-batch: local matmul + one psum + finish -------------- #
+        def make_accum(B, n_corr):
+            def body(s_re, s_im, betas, vals, *corr_args):
+                d = jax.lax.axis_index("b")
+                s_re_l = jax.lax.dynamic_slice(
+                    s_re, (jnp.int32(0), d * nb_local), (B, nb_local)
+                )
+                s_im_l = jax.lax.dynamic_slice(
+                    s_im, (jnp.int32(0), d * nb_local), (B, nb_local)
+                )
+                v = vals.reshape(nb_local, -1)
+                acc_re = jax.lax.psum(s_re_l @ v, "b")
+                acc_im = jax.lax.psum(s_im_l @ v, "b")
+                if n_corr:
+                    corr_v, cs_re, cs_im = corr_args
+                    c = corr_v.reshape(n_corr, -1)
+                    acc_re = acc_re + cs_re @ c
+                    acc_im = acc_im + cs_im @ c
+                acc_re = acc_re.reshape(B, n_ch, n_grid**3)
+                acc_im = acc_im.reshape(B, n_ch, n_grid**3)
+                return _finish_unrolled(acc_re, acc_im, betas, B)
+
+            specs = (P(), P(), P(), P("b"))
+            if n_corr:
+                specs = specs + (P(), P(), P())
+            return jax.jit(shard_map(
+                body, mesh=flat_mesh, in_specs=specs,
+                out_specs=(P(), P(), P()), check_vma=False,
+            ))
+
+        def s_matrix(batch):
+            qs = np.arange(n_blocks)
+            qv = np.stack([qs // (m * m), (qs // m) % m, qs % m],
+                          axis=1).astype(np.float64)
+            s = np.exp(-2j * np.pi
+                       * (batch.astype(np.float64) @ qv.T) / m) / m**1.5
+            if corr_qs:
+                sc = s[:, corr_qs].copy()
+                s[:, corr_qs] = 0.0       # cache column replaced
+            else:
+                sc = None
+            return (jnp.asarray(s.real, jnp.float32),
+                    jnp.asarray(s.imag, jnp.float32),
+                    None if sc is None else (
+                        jnp.asarray(sc.real, jnp.float32),
+                        jnp.asarray(sc.imag, jnp.float32),
+                    ))
+
+        _t0 = _time.time()
+        runners = {}
+        i = 0
+        while i < len(betas_np):
+            batch = betas_np[i:i + beta_batch]
+            B = len(batch)
+            key = (B, len(corr_qs))
+            if key not in runners:
+                runners[key] = make_accum(B, len(corr_qs))
+            s_re, s_im, sc = s_matrix(batch)
+            args = (s_re, s_im, jnp.asarray(batch), vals_cached)
+            if corr_qs:
+                args = args + (corr, sc[0], sc[1])
+            k, psum, nsamp = runners[key](*args)
+            spectra.extend(_emit(batch, np.asarray(k), psum, nsamp))
+            i += beta_batch
+        if stage_times is not None:
+            stage_times["batches_s"] = round(_time.time() - _t0, 2)
+            stage_times.update(stats)
+        return SpectrumList(spectra)
+
+    # ------- no-cache fallback: fused compute+accumulate per batch ---- #
     def make_runner(B):
         def body(betas, *arrs):
             d = jax.lax.axis_index("b")
@@ -236,17 +425,8 @@ def distributed_streamed_sweep(
             acc_re = jax.lax.psum(acc_re, "b")
             acc_im = jax.lax.psum(acc_im, "b")
             sus = jax.lax.psum(sus, "b")
-
-            ks, ps, ns = [], [], []
-            for j in range(B):      # static unroll over the beta batch
-                k, psum, nsamp = run_streamed._finish_beta(
-                    acc_re[j], acc_im[j], betas[j],
-                    n_grid, n_total, box, n_bins,
-                )
-                ks.append(k)
-                ps.append(psum)
-                ns.append(nsamp)
-            return ks[0], jnp.stack(ps), jnp.stack(ns), sus
+            k, ps, ns = _finish_unrolled(acc_re, acc_im, betas, B)
+            return k, ps, ns, sus
 
         return jax.jit(shard_map(
             body, mesh=flat_mesh, in_specs=(P(),) + arr_specs,
@@ -254,8 +434,7 @@ def distributed_streamed_sweep(
         ))
 
     runners = {}
-    spectra = []
-    sus_total = 0
+    sus_total = None
     i = 0
     while i < len(betas_np):
         batch = betas_np[i:i + beta_batch]
@@ -263,27 +442,24 @@ def distributed_streamed_sweep(
         if B not in runners:
             runners[B] = make_runner(B)
         k, psum, nsamp, sus = runners[B](jnp.asarray(batch), *arrays)
-        # blocks are recomputed per batch, so the count repeats: keep max
-        sus_total = max(sus_total, int(np.asarray(sus).max()))
-        k_np = np.asarray(k)
-        for j, beta in enumerate(batch):
-            s = PowerSpectrum.from_binned(
-                k_np, np.asarray(psum[j]), np.asarray(nsamp[j]),
-                m=m, beta=tuple(int(b) for b in beta),
-            )
-            spectra.append(s)
-            if on_spectrum is not None:
-                on_spectrum(s)  # e.g. the CLI's per-beta checkpoint
+        if sus_total is None:
+            # blocks are recomputed identically per batch — the first
+            # batch's count IS the per-sweep total
+            sus_total = int(np.asarray(sus).max())
+        spectra.extend(_emit(batch, np.asarray(k), psum, nsamp))
         i += beta_batch
+    stats["suspect_cells"] = sus_total or 0
+    if stage_times is not None:
+        stage_times.update(stats)
     if sus_total:
         import warnings
 
         warnings.warn(
             f"{sus_total} cells could not be margin-certified "
             f"(assigned neighbor at/beyond margin_cells={margin_cells}); "
-            f"the distributed sweep cannot escalate per block — rerun "
-            f"with a larger margin_cells, or use the single-chip "
-            f"certified streamed_folded_sweep.",
+            f"the uncached distributed sweep cannot escalate per block "
+            f"— rerun with cache_values=True, a larger margin_cells, or "
+            f"the single-chip certified streamed_folded_sweep.",
             stacklevel=2,
         )
     return SpectrumList(spectra)

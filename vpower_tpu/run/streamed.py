@@ -363,18 +363,36 @@ def _single_block_rows(
     extended open-box frame, padded to a ``pad_quantum`` multiple so
     escalations reuse compiles."""
     box = float(particles.box_size)
-    bs = box / m
-    ext = bs + 2.0 * margin_phys
-    pos = np.asarray(particles.pos, np.float64) % box
-    lo = q3.astype(np.float64) * bs
-    rel = (pos - lo[None, :] + margin_phys) % box
-    inside = np.all(rel < ext, axis=1)
-    k = int(inside.sum())
-    kpad = max((k + pad_quantum) // pad_quantum * pad_quantum, pad_quantum)
-    rows = np.zeros((kpad, 7), np.float32)
-    rows[:k, :3] = rel[inside]
-    rows[:k, 3:6] = np.asarray(particles.vel, np.float32)[inside]
-    rows[:k, 6] = np.asarray(particles.density, np.float32)[inside]
+    from ..io import native as _native
+
+    if _native.native_available():
+        # threaded native selection: a mass escalation (hundreds of
+        # blocks) stays seconds of host time instead of minutes of
+        # numpy full-array passes on a 1-vCPU-class host
+        sel, k = _native.single_block_rows_host(
+            np.asarray(particles.pos, np.float32),
+            np.asarray(particles.vel, np.float32),
+            np.asarray(particles.density, np.float32),
+            m, box, margin_phys, q3,
+        )
+        kpad = max((k + pad_quantum) // pad_quantum * pad_quantum,
+                   pad_quantum)
+        rows = np.zeros((kpad, 7), np.float32)
+        rows[:k] = sel[:k]
+    else:
+        bs = box / m
+        ext = bs + 2.0 * margin_phys
+        pos = np.asarray(particles.pos, np.float64) % box
+        lo = q3.astype(np.float64) * bs
+        rel = (pos - lo[None, :] + margin_phys) % box
+        inside = np.all(rel < ext, axis=1)
+        k = int(inside.sum())
+        kpad = max((k + pad_quantum) // pad_quantum * pad_quantum,
+                   pad_quantum)
+        rows = np.zeros((kpad, 7), np.float32)
+        rows[:k, :3] = rel[inside]
+        rows[:k, 3:6] = np.asarray(particles.vel, np.float32)[inside]
+        rows[:k, 6] = np.asarray(particles.density, np.float32)[inside]
     if device is not None:
         return jax.device_put(rows, device), k
     return jnp.asarray(rows), k
@@ -383,6 +401,71 @@ def _single_block_rows(
 # ---------------------------------------------------------------------- #
 # per-block full-resolution field values                                 #
 # ---------------------------------------------------------------------- #
+def _block_values_at(cand, count, n_grid, n_ext_q, mc_q, cell_total,
+                     quantity, exact, want_certify):
+    """One block's (n_ch, n_grid^3) values at an explicit extended size:
+    exact mode routes through the provably-exact window sweep where its
+    tiling fits; everything else takes the jitted value-carry/ring
+    path.  Shared by the sweep drivers and the escalation loop."""
+    n_ch = 1 if quantity == "energy" else 3
+    ext_q = n_ext_q * cell_total
+    if exact and n_ext_q % 64 == 0:
+        out = _nn_block_values_exact(
+            cand, count, n_grid, n_ext_q, mc_q, float(ext_q),
+            float(cell_total), quantity, certify=want_certify,
+        )
+    else:
+        out = _nn_block_values(
+            cand, count, n_grid, n_ext_q, mc_q, float(ext_q),
+            float(cell_total), quantity, exact, certify=want_certify,
+        )
+    if want_certify:
+        return out[0].reshape(n_ch, n_grid**3), out[1]
+    return out.reshape(n_ch, n_grid**3)
+
+
+def _escalate_block(particles, q, m, n_grid, base_margin_cells,
+                    margin_max, cell_total, quantity, exact,
+                    device=None):
+    """Re-run one uncertified block at doubled margins until the
+    certificate clears (or the margin hits the representability cap —
+    then warn and keep the best attempt).  Returns
+    ``(vals (n_ch, n_grid^3), n_uncertified)``."""
+    q3 = np.array([q // (m * m), (q // m) % m, q % m], np.int64)
+    mc_req = base_margin_cells
+    while True:
+        mc_req = min(max(mc_req * 2, mc_req + 8), margin_max)
+        n_ext2, mc = _round_ext_capped(n_grid, mc_req, margin_max)
+        if exact and n_ext2 % 64 and n_grid % 2 == 0:
+            # keep exact escalations on the window sweep
+            ne64 = int(np.ceil(n_ext2 / 64) * 64)
+            if (ne64 - n_grid) // 2 <= margin_max:
+                n_ext2 = ne64
+                mc = (ne64 - n_grid) // 2
+        rows2, k2 = _single_block_rows(
+            particles, q3, m, mc * cell_total, device=device,
+        )
+        vals, nsus = _block_values_at(
+            rows2, jnp.int32(k2), n_grid, n_ext2, mc, cell_total,
+            quantity, exact, True,
+        )
+        n_bad = int(nsus)
+        if n_bad == 0 or mc_req >= margin_max:
+            if n_bad:
+                import warnings
+
+                warnings.warn(
+                    f"block {q}: {n_bad} cells uncertified even at the "
+                    f"largest representable margin ({mc} cells) — a "
+                    f"void wider than (L - L/m)/2, or an exact-mode "
+                    f"block with no window-capable extended size; "
+                    f"those cells keep their nearest in-frame "
+                    f"assignment.",
+                    stacklevel=2,
+                )
+            return vals, n_bad
+
+
 def _quantity_vals(vel, rho, cell, quantity):
     """Per-particle payload channels for a derived quantity (reference
     semantics: mass = rho * Lcell^3, ``interp.py:273``)."""
@@ -847,10 +930,11 @@ def _finish_batch_impl(
     return k, psum, nsamp
 
 
+# no donation: the outputs are small spectra, so no input buffer can be
+# reused and XLA warns "donated buffers were not usable" on every run
 _finish_batch = _backend_jit(
     _finish_batch_impl,
     static=("n_grid", "n_total", "box", "n_bins"),
-    donate=("acc_re", "acc_im"),
 )
 
 
@@ -991,26 +1075,6 @@ def streamed_folded_sweep(
         if ext_box_grid < ext_box - 1e-9:
             raise AssertionError("extended grid smaller than candidate box")
 
-        def _values_at(cand, count, n_ext_q, mc_q, want_certify):
-            # exact mode goes through the provably-exact window sweep
-            # where its tiling fits; other extended sizes keep the
-            # jitted ring-refine path
-            ext_q = n_ext_q * cell_total
-            if exact and n_ext_q % 64 == 0:
-                out = _nn_block_values_exact(
-                    cand, count, n_grid, n_ext_q, mc_q, float(ext_q),
-                    float(cell_total), quantity, certify=want_certify,
-                )
-            else:
-                out = _nn_block_values(
-                    cand, count, n_grid, n_ext_q, mc_q, float(ext_q),
-                    float(cell_total), quantity, exact,
-                    certify=want_certify,
-                )
-            if want_certify:
-                return out[0].reshape(n_ch, n_grid**3), out[1]
-            return out.reshape(n_ch, n_grid**3)
-
         def block_values(q: int):
             if multi:
                 cand_np = np.zeros((pad, 7), np.float32)
@@ -1021,48 +1085,17 @@ def streamed_folded_sweep(
                 cand = jax.lax.dynamic_slice(
                     rows_d, (int(starts[q]), 0), (pad, 7)
                 )
-            return _values_at(
-                cand, jnp.int32(counts[q]), n_ext, margin_cells, certify
+            return _block_values_at(
+                cand, jnp.int32(counts[q]), n_grid, n_ext, margin_cells,
+                cell_total, quantity, exact, certify,
             )
 
         def escalate_block(q: int):
-            """Re-run one uncertified block at doubled margins until the
-            certificate clears (or the margin hits the representability
-            cap — then warn and keep the best attempt)."""
-            q3 = np.array([q // (m * m), (q // m) % m, q % m], np.int64)
-            mc_req = margin_cells
-            while True:
-                mc_req = min(max(mc_req * 2, mc_req + 8), margin_max)
-                n_ext2, mc = _round_ext_capped(n_grid, mc_req, margin_max)
-                if exact and n_ext2 % 64 and n_grid % 2 == 0:
-                    # keep exact escalations on the window sweep
-                    ne64 = int(np.ceil(n_ext2 / 64) * 64)
-                    if (ne64 - n_grid) // 2 <= margin_max:
-                        n_ext2 = ne64
-                        mc = (ne64 - n_grid) // 2
-                rows2, k2 = _single_block_rows(
-                    particles, q3, m, mc * cell_total,
-                    device=devices[q % n_dev] if multi else None,
-                )
-                vals, nsus = _values_at(
-                    rows2, jnp.int32(k2), n_ext2, mc, True
-                )
-                n_bad = int(nsus)
-                if n_bad == 0 or mc_req >= margin_max:
-                    if n_bad:
-                        import warnings
-
-                        warnings.warn(
-                            f"block {q}: {n_bad} cells uncertified even "
-                            f"at the largest representable margin "
-                            f"({mc} cells) — a void wider than "
-                            f"(L - L/m)/2, or an exact-mode block with "
-                            f"no window-capable extended size; those "
-                            f"cells keep their nearest in-frame "
-                            f"assignment.",
-                            stacklevel=2,
-                        )
-                    return vals, n_bad
+            return _escalate_block(
+                particles, q, m, n_grid, margin_cells, margin_max,
+                cell_total, quantity, exact,
+                device=devices[q % n_dev] if multi else None,
+            )
 
     elif method in ("ngp", "cic", "sph"):
         pos_d = particles.pos
