@@ -169,11 +169,35 @@ def main():
     os.environ.pop("VPOWER_STATE_ZC512", None)
     importlib.reload(nn_mod)
 
+    # ---- device trace support probe -------------------------------- #
+    # (the remote-execution axon platform may not emit device traces;
+    # record the factual answer either way so the profile artifact says
+    # what tooling exists here)
+    trace_support = "unknown"
+    try:
+        import glob
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            with jax.profiler.trace(td):
+                x = jnp.ones((256, 256)) @ jnp.ones((256, 256))
+                _sync(x)
+            files = glob.glob(td + "/**/*.pb", recursive=True) + \
+                glob.glob(td + "/**/*.xplane*", recursive=True)
+            trace_support = (
+                f"{len(files)} trace artifacts" if files
+                else "trace ran, no device artifacts"
+            )
+    except Exception as e:  # noqa: BLE001
+        trace_support = f"unavailable: {type(e).__name__}"
+    print(f"[profile] jax.profiler.trace: {trace_support}", flush=True)
+
     out = {
         "chip": str(jax.devices()[0]),
         "hbm_ref_gb_per_s": HBM_GBPS,
         "stages": stages,
         "state_zc512_ab_512": zc_ab,
+        "jax_profiler_trace": trace_support,
     }
     print(json.dumps(out), flush=True)
     with open(os.path.join(HERE, "profile_stages.json"), "w") as fh:

@@ -345,3 +345,27 @@ def test_disk_block_cache_writer_failure_raises(tmp_path, monkeypatch):
         streamed_folded_sweep(p, 8, 2, quantity="velocity", method="cic",
                               beta_batch=4,
                               cache_dir=str(tmp_path / "bfail"))
+
+
+def test_disk_block_cache_f16_lo_path(tmp_path):
+    """A cache over the f32 byte budget spills float16 block values (the
+    on-device lo copy halves the host pull); the reused spectra agree
+    to f16 tolerance."""
+    p = synthetic_particles(jax.random.PRNGKey(7), 12, box_size=1.0,
+                            jitter=0.4)
+    d = str(tmp_path / "bcache16")
+    a = streamed_folded_sweep(p, 8, 2, quantity="velocity", method="cic",
+                              beta_batch=4, cache_dir=d,
+                              cache_bytes_limit=1.0)
+    import os
+
+    blocks = [f for f in os.listdir(d) if f.startswith("block_")]
+    assert len(blocks) == 8
+    arr = np.load(os.path.join(d, blocks[0]))
+    assert arr.dtype == np.float16
+    b = streamed_folded_sweep(p, 8, 2, quantity="velocity", method="cic",
+                              beta_batch=4, cache_dir=d,
+                              cache_bytes_limit=1.0)
+    for sa, sb in zip(a, b):
+        np.testing.assert_array_equal(sb.Nsample, sa.Nsample)
+        np.testing.assert_allclose(sb.Psum, sa.Psum, rtol=5e-3, atol=1e-12)

@@ -52,7 +52,7 @@ from .spectrum.spectrum import (
 )
 from .utils.checks import check_conservation
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 __all__ = [
     "Particles",
