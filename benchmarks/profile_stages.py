@@ -30,8 +30,12 @@ HBM_GBPS = 820.0  # v5e-class
 
 
 def _sync(x):
+    # Scalar-reduction sync: ``leaf.ravel()[:1]`` materialized a full
+    # device copy of the leaf first (2 GB at 512^3 x 4ch), which tipped
+    # the 16 GB chip into RESOURCE_EXHAUSTED next to the stage's own
+    # working set; a jnp.sum reads the buffer without copying it.
     leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(leaf.ravel()[:1])
+    float(jnp.sum(leaf))
 
 
 def _cost_bytes(fn, *args):
@@ -45,15 +49,31 @@ def _cost_bytes(fn, *args):
         return float("nan")
 
 
+def _free(x):
+    for leaf in jax.tree_util.tree_leaves(x):
+        try:
+            leaf.delete()
+        except Exception:  # noqa: BLE001 — already donated/deleted
+            pass
+
+
 def _time(fn, *args, reps=3):
+    """Best-of-reps wall time with EXPLICIT buffer deletion between
+    runs — holding two 512^3 multi-channel outputs at once (previous
+    rep + in-flight rep) tipped the 16 GB chip into
+    RESOURCE_EXHAUSTED.  Stages run under one jit like the production
+    pipelines (an eager call would materialize every multigrid level)."""
+    fn = jax.jit(fn)
     out = fn(*args)
     _sync(out)
+    _free(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
         _sync(out)
         best = min(best, time.perf_counter() - t0)
+        _free(out)
     return best
 
 
@@ -105,8 +125,11 @@ def main():
     b = _cost_bytes(stage_descent, particles.pos, vals)
     record("descent_512_value_carry", t, b)
 
-    g, _ = jax.jit(stage_descent)(particles.pos, vals)
-    vel_grid = g[:3]
+    # hand-off cube built inside one jit so the full 4-channel payload
+    # (2 GB) never coexists with its 3-channel copy on the 16 GB chip
+    vel_grid = jax.jit(
+        lambda p, v: stage_descent(p, v)[0][:3]
+    )(particles.pos, vals)
     _sync(vel_grid)
 
     def stage_fft(vg):
@@ -118,6 +141,7 @@ def main():
 
     p_grid = jax.jit(stage_fft)(vel_grid)
     _sync(p_grid)
+    _free(vel_grid)
 
     def stage_bin(pg):
         return shell_bin(pg, 1.0)
@@ -125,6 +149,7 @@ def main():
     t = _time(stage_bin, p_grid)
     b = _cost_bytes(stage_bin, p_grid)
     record("shell_bin_512", t, b)
+    _free(p_grid)
 
     # ---- streamed 320^3 block descent (the 2048-range workhorse) --- #
     print("[profile] 320^3 streamed block (production margin)", flush=True)
@@ -150,22 +175,26 @@ def main():
     t = _time(one_block, cand, cnt)
     b = _cost_bytes(one_block, cand, cnt)
     record(f"block_{n_ext}_descent_certified", t, b)
+    # the candidate-run table (~1.5 GB at 10M particles) must not
+    # coexist with the A/B's full 512^3 descent peak
+    _free((rows_d, cand, cnt))
 
     # ---- VPOWER_STATE_ZC512 A/B at 512^3 --------------------------- #
     print("[profile] state-only z-chunk A/B at 512^3", flush=True)
     from vpower_tpu.deposit import nn as nn_mod
 
-    zc_ab = {}
-    for flag in ("0", "1"):
-        os.environ["VPOWER_STATE_ZC512"] = flag
-        importlib.reload(nn_mod)
+    # flag=0 is exactly the descent_512_value_carry stage above — reuse
+    # it instead of paying the multi-minute axon compile twice
+    zc_ab = {"zc384_default": stages["descent_512_value_carry"]["s"]}
+    os.environ["VPOWER_STATE_ZC512"] = "1"
+    importlib.reload(nn_mod)
 
-        def run_flag(p, v):
-            return nn_mod.nn_gather_grid(p, v, 512, 1.0)
+    def run_flag(p, v):
+        return nn_mod.nn_gather_grid(p, v, 512, 1.0)
 
-        t = _time(run_flag, particles.pos, vals)
-        zc_ab["zc512_on" if flag == "1" else "zc384_default"] = round(t, 4)
-        print(f"  VPOWER_STATE_ZC512={flag}: {t:.3f}s", flush=True)
+    t = _time(run_flag, particles.pos, vals)
+    zc_ab["zc512_on"] = round(t, 4)
+    print(f"  VPOWER_STATE_ZC512=1: {t:.3f}s", flush=True)
     os.environ.pop("VPOWER_STATE_ZC512", None)
     importlib.reload(nn_mod)
 

@@ -614,7 +614,11 @@ def _sweep_state_xla(ch, dist2, big, shifts):
 _PREMERGE_MIN = 256
 
 
-_STATE_ZC512 = os.environ.get("VPOWER_STATE_ZC512", "0") == "1"
+# Promoted to default after the on-chip A/B it was gated on: 512^3
+# state-only descent 1.514 s (zc=384) -> 1.450 s (zc=512)
+# (benchmarks/profile_stages.json, state_zc512_ab_512).  The opt-out
+# stays for descriptor-pressure debugging on other parts.
+_STATE_ZC512 = os.environ.get("VPOWER_STATE_ZC512", "1") == "1"
 
 
 def _pallas_zc(n: int, state_only: bool = False):
@@ -632,10 +636,9 @@ def _pallas_zc(n: int, state_only: bool = False):
     pipeline as its XLA fallback (0.61 s of 1.18 s/block at 384^3;
     0.41 s of 0.67 s/block at 320^3).  Capped at 384 to keep the
     seeded sweep's VMEM inside one core (~10 MB at k=2, C=8, wz=448);
-    the STATE-ONLY passes (seeds pre-merged, ~4.6 MB at zc=512) may
-    additionally try zc=512 behind ``VPOWER_STATE_ZC512=1`` —
-    flag-gated pending an on-chip measurement of descriptor count vs
-    window size at 512^3."""
+    the STATE-ONLY passes (seeds pre-merged, ~4.6 MB at zc=512)
+    additionally try zc=512, measured 4% faster end-to-end at 512^3
+    (``VPOWER_STATE_ZC512=0`` opts out)."""
     if n % 128 == 0:
         cands = (
             (512, 384, 256, 128)

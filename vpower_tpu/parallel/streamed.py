@@ -12,9 +12,14 @@ reference's per-buffer ``allgather`` of query results
 (``parallel_optimized.py:365-368``) with a single reduction of the
 already-folded O(n_grid^3) field.
 
-Work per device is O(m^3 / n_devices) block passes; device memory is
-O(beta_batch * n_grid^3) exactly as on one chip.  Methods: ``nn``
-(exact Voronoi gather), ``ngp``/``cic`` (scatter + divide).
+Work per device is O(m^3 / n_devices) block passes — ONCE per sweep
+when the sharded block-value cache fits (``cache_values``, the
+default at pod-scale shard sizes): every later beta batch is a local
+matmul + one psum, the role the reference's gen-2 disk index buffers
+played (``scripts/parallel_disk.py:305-332``).  Device memory is
+O(beta_batch * n_grid^3) (+ the per-device cache shard when enabled).
+Methods: ``nn`` (exact Voronoi gather), ``ngp``/``cic`` (scatter +
+divide).
 
 NN candidate rows are partitioned host-side by device block ownership
 and sharded over the mesh (``in_specs=P('b')``), so each device holds
