@@ -40,11 +40,16 @@ def make_workload():
 
 
 def pipeline(particles):
-    from vpower_tpu.deposit.nn import nn_interp_to_field
+    # velocity-only NN route (same as run.pipeline.power_spectrum's
+    # method="nn" fast path): the velocity spectrum never reads the
+    # mass cube, so rho is not carried through the descent — the
+    # reference's canonical scripts likewise gather only the velocity
+    # 3-vector (parallel_optimized.py:348-356)
+    from vpower_tpu.deposit.nn import nn_velocity_grid
     from vpower_tpu.spectrum.power import shell_bin, vector_power
 
-    field = nn_interp_to_field(particles, N_GRID)
-    p_grid = vector_power(field.velocity, BOX)
+    v = nn_velocity_grid(particles, N_GRID)
+    p_grid = vector_power(v, BOX)
     return shell_bin(p_grid, BOX)
 
 
@@ -80,7 +85,7 @@ def _pipeline_bytes_moved() -> float:
     Deliberately a LOWER bound (ignores seeds/rows side inputs), so the
     printed GB/s underestimates true utilization."""
     n3 = float(N_GRID) ** 3
-    state = 8 * 4  # [pos3, vals4, d2] f32 channels
+    state = 7 * 4  # [pos3, v3, d2] f32 channels (velocity-only route)
     descent = 2 * 2 * state * n3 * 1.14  # rw x 2 rounds x pyramid
     fft = 3 * 3 * 2 * 8 * n3             # 3 comps x 3 1d-passes x rw c64
     binning = 2 * 4 * n3

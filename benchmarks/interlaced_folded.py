@@ -2,9 +2,13 @@
 "folded/interlaced" BASELINE.md scale-ceiling phrase, backed by an
 artifact (VERDICT r3 item 8).
 
-1024-range: fused-fold CIC momentum at n_grid=512, m=2, all 8 betas,
+1024-range: fused-fold CIC momentum at n_grid=256, m=4, all 64 betas,
 with interlacing (second half-cell-shifted deposit combined on the
 global mode lattice K = m t + beta) and 1/W(K)^2 compensation.
+(n_grid=512/m=2 holds two 3-channel complex 512^3 grids + FFT temps +
+two 80M-row phased target tables per beta — 18.2 GB compiled peak,
+past the 15.75 GB chip; m=4 x 256^3 spans the same 1024 range in
+1/8 the memory.)
 Validation mirror: the unfolded interlaced 512^3 spectrum must agree
 on the overlap band (tests/test_extras.py proves ~1e-7 at equal total
 resolution; here resolutions differ so the band match is physical, not
@@ -48,7 +52,7 @@ def main():
     particles = particles_from_field(field, 1.0, pos)
     float(jnp.sum(particles.pos[:, 0]))
 
-    n_grid, m = 512, 2
+    n_grid, m = 256, 4
     fused_fold_full_spectrum(particles, n_grid, m, method="cic",
                              interlace=True, compensate=True)  # compile
     t0 = time.time()
@@ -57,21 +61,35 @@ def main():
     wall = time.time() - t0
 
     t1 = time.time()
-    unfolded = power_spectrum(particles, n_grid, method="cic",
+    unfolded = power_spectrum(particles, 512, method="cic",
                               quantity="momentum", interlace=True,
                               compensate=True)
     unfolded_s = time.time() - t1
 
-    n = min(len(unfolded), len(folded))
+    # momentum here is per-cell (mass-weighted velocity; reference
+    # ``interp.py:521-541`` convention), an EXTENSIVE quantity — its
+    # P(k) scales as V_cell^2.  The two runs deposit at different cell
+    # sizes (1/1024 vs 1/512), so normalize both to momentum DENSITY
+    # (divide the field by V_cell -> P by V_cell^2) before comparing.
+    def _density_norm(s, n_cells_axis):
+        v2 = (1.0 / n_cells_axis) ** 6  # (V_cell)^2 at box = 1
+        return PowerSpectrum(s.k, s.P / v2, s.Psum / v2, s.Nsample)
+
+    unfolded_d = _density_norm(unfolded, 512)
+    folded_d = _density_norm(folded, n_grid * m)
+    n = min(len(unfolded_d), len(folded_d))
     lo, hi = 8, max(n // 2, 10)
-    band_u = PowerSpectrum(unfolded.k[lo:hi], unfolded.P[lo:hi],
-                           unfolded.Psum[lo:hi], unfolded.Nsample[lo:hi])
-    band_f = PowerSpectrum(folded.k[lo:hi], folded.P[lo:hi],
-                           folded.Psum[lo:hi], folded.Nsample[lo:hi])
+    band_u = PowerSpectrum(
+        unfolded_d.k[lo:hi], unfolded_d.P[lo:hi],
+        unfolded_d.Psum[lo:hi], unfolded_d.Nsample[lo:hi])
+    band_f = PowerSpectrum(
+        folded_d.k[lo:hi], folded_d.P[lo:hi],
+        folded_d.Psum[lo:hi], folded_d.Nsample[lo:hi])
 
     result = {
-        "metric": "1024-range interlaced+compensated folded momentum "
-                  "P(k) (CIC, m=2, all 8 betas), 10M particles, 1 chip",
+        "metric": f"1024-range interlaced+compensated folded momentum "
+                  f"P(k) (CIC, m={m}, all {m**3} betas), 10M "
+                  f"particles, 1 chip",
         "n_grid": n_grid,
         "fold_m": m,
         "interlace": True,

@@ -123,9 +123,13 @@ def test_certified_sweep_escalates_void_blocks():
     assert np.isfinite(comb.Psum).all() and comb.Nsample.sum() > 0
 
 
-def test_certificate_warns_on_unrepresentable_void():
-    """A void wider than the largest representable margin cannot be
-    certified — the sweep warns and reports the residual cells."""
+def test_certificate_warns_on_unrepresentable_void(monkeypatch):
+    """A void wider than the largest representable margin normally gets
+    the wrap-exact backstop; with the backstop's work budget forced to
+    zero the sweep must warn and report the residual cells."""
+    from vpower_tpu.run import streamed as run_streamed
+
+    monkeypatch.setattr(run_streamed, "_WRAP_BRUTE_BUDGET", 0.0)
     p = _cluster_particles(60, 0.3, seed=5)
     stages = {}
     with pytest.warns(UserWarning, match="uncertified"):
@@ -135,6 +139,46 @@ def test_certificate_warns_on_unrepresentable_void():
             beta_sequence=np.array([[0, 0, 0]]), stage_times=stages,
         )
     assert stages["uncertified_cells"] > 0
+
+
+def test_wrap_exact_backstop_matches_bruteforce():
+    """Past the representability cap the backstop assigns the TRUE
+    periodic NN: escalate every block of a void-heavy box and compare
+    the assembled field against a direct host brute force in the wrap
+    metric (bit-equal values; certified cells are exact already, capped
+    cells are fixed by the backstop)."""
+    from vpower_tpu.run.streamed import _escalate_block
+
+    p = _cluster_particles(60, 0.3, seed=5)
+    n_grid, m = 16, 2
+    n_total = m * n_grid
+    cell_total = 1.0 / n_total
+    margin_max = (n_total - n_grid) // 2
+
+    pos = np.asarray(p.pos, np.float64)
+    vel = np.asarray(p.vel, np.float64)
+    axc = (np.arange(n_grid) + 0.5) * cell_total
+    n_fixed = 0
+    for q in range(m**3):
+        vals, left = _escalate_block(
+            p, q, m, n_grid, 4, margin_max, cell_total,
+            "velocity", False,
+        )
+        assert left == 0
+        q3 = np.array([q // (m * m), (q // m) % m, q % m])
+        cx, cy, cz = np.meshgrid(
+            *(axc + q3[a] * n_grid * cell_total for a in range(3)),
+            indexing="ij",
+        )
+        centers = np.stack([cx, cy, cz], axis=-1).reshape(-1, 3)
+        d = np.abs(centers[:, None, :] - pos[None, :, :])
+        d = np.minimum(d, 1.0 - d)
+        nn = np.argmin((d * d).sum(-1), axis=1)
+        ref = vel[nn].T.astype(np.float32)
+        got = np.asarray(vals)
+        np.testing.assert_array_equal(got, ref)
+        n_fixed += 1
+    assert n_fixed == m**3
 
 
 def test_certificate_quiet_on_dense_box():

@@ -214,3 +214,41 @@ def test_adaptive_block_width_large_id_space():
         jnp.asarray(svals), jnp.asarray(sids), num_segments=n_cells,
         indices_are_sorted=True)).T
     np.testing.assert_allclose(flat, ref, atol=1e-5)
+
+
+@pytest.mark.fast
+def test_segmented_pair_tables(monkeypatch):
+    """SMEM segmentation: when the (win, blk) pair tables exceed the
+    per-call ceiling the deposit chains multiple pallas_calls through
+    the carry alias.  Forced tiny _G_SEG so segment boundaries land
+    mid-block-run; parity with segment_sum, with and without a user
+    carry."""
+    monkeypatch.setattr(mxu_scatter, "_G_SEG", 7)
+    rng = np.random.default_rng(7)
+    n_grid, n = 32, 4000
+    # clustered ids so same-block runs straddle segment boundaries
+    sids = np.sort(
+        np.concatenate([
+            rng.integers(0, 300, n // 2),          # dense head
+            rng.integers(0, n_grid**3, n - n // 2),
+        ])
+    )
+    svals = rng.normal(size=(n, 3))
+    _check(sids, svals, n_grid)
+
+    # carry chaining on top of segmentation
+    sids_j = jnp.asarray(sids, jnp.int32)
+    svals_j = jnp.asarray(svals, jnp.float32)
+    plan = mxu_scatter.make_deposit_plan(sids_j, n_grid**3)
+    base = jnp.asarray(
+        rng.normal(size=(3, n_grid**3)), jnp.float32
+    )
+    got = np.asarray(mxu_scatter.deposit_planned(
+        plan, svals_j, n_grid**3, interpret=True, carry=base
+    ))
+    ref = np.asarray(base) + _segsum_grid(
+        sids_j, svals_j, n_grid
+    ).reshape(3, -1)
+    np.testing.assert_allclose(
+        got, ref, atol=1e-5 * max(1.0, float(np.abs(ref).max()))
+    )

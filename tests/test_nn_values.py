@@ -306,3 +306,38 @@ def test_premerge_mode_accuracy(rng):
             chosen_d.append(np.sqrt((dd**2).sum(-1)).min())
         excess = np.asarray(chosen_d) - d_true
         assert excess.max() < np.sqrt(3.0) * cell
+
+
+@pytest.mark.fast
+def test_velocity_fast_path_matches_boxfield_route(rng):
+    """The velocity-only NN spectrum route (rho not carried through the
+    descent) must bin the same spectrum as the BoxField route: payload
+    channels ride the descent without influencing assignments, so
+    dropping rho changes traffic, not values."""
+    from vpower_tpu.core.particles import Particles
+    from vpower_tpu.deposit.nn import nn_interp_to_field, nn_velocity_grid
+    from vpower_tpu.run.pipeline import power_spectrum, spectrum_from_field
+
+    n_p, n_grid, box = 3000, 32, 1.0
+    p = Particles(
+        pos=jnp.asarray(rng.random((n_p, 3), np.float32) * box),
+        vel=jnp.asarray(rng.standard_normal((n_p, 3)).astype(np.float32)),
+        mass=jnp.ones((n_p,), jnp.float32),
+        density=jnp.asarray(
+            0.5 + rng.random(n_p).astype(np.float32)
+        ),
+        box_size=box,
+    )
+    field = nn_interp_to_field(p, n_grid)
+    v_fast = nn_velocity_grid(p, n_grid)
+    np.testing.assert_array_equal(
+        np.asarray(v_fast), np.asarray(field.velocity)
+    )
+    s_box = spectrum_from_field(field, quantity="velocity")
+    s_fast = power_spectrum(p, n_grid, method="nn", quantity="velocity")
+    np.testing.assert_allclose(
+        np.asarray(s_fast.P), np.asarray(s_box.P), rtol=2e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_fast.Nsample), np.asarray(s_box.Nsample)
+    )

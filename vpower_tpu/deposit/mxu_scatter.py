@@ -61,6 +61,15 @@ _K = 512           # particles per window
 # per grid step) and is ~1 MB: keep G_max = n_windows + n_blocks under
 # this budget by widening blocks for large id spaces.
 _G_BUDGET = 80_000
+# Hard per-call ceiling on grid steps: 2 x s32[_G_SEG] prefetch tables
+# = 480 KB of the ~1 MB SMEM.  _choose_cbh only bounds the BLOCK count;
+# when the WINDOW count dominates (many rows per cell space — e.g. all
+# 8 CIC corners of 10M particles in one fused 512^3 plan, w ~ 157k),
+# the pair tables are split into segments of _G_SEG steps chained
+# in-place through the carry alias (same total work, same result:
+# same-block runs split across a segment boundary re-seed from the
+# carry, which already holds the earlier segments' partial sums).
+_G_SEG = 60_000
 
 
 def _choose_cbh(n_cells: int):
@@ -221,6 +230,11 @@ def deposit_planned(
     pad = w * _K - svals.shape[0]
     vals_t = jnp.pad(svals.T, ((0, 0), (0, pad))).reshape(n_chan, w, 1, _K)
     g_max = int(plan.win.shape[0])
+    n_seg = max(1, -(-g_max // _G_SEG))
+    if n_seg > 1 and carry is None:
+        # multi-segment calls must all accumulate in place (a zero-init
+        # second segment would wipe the first's partial sums)
+        carry = jnp.zeros((n_chan, n_cells), jnp.float32)
     accumulate = carry is not None
 
     out_spec = pl.BlockSpec((n_chan, 1, cbh, _CBL),
@@ -230,40 +244,46 @@ def deposit_planned(
         pl.BlockSpec((n_chan, 1, 1, _K),
                      lambda g, win, blk: (0, win[g], 0, 0)),
     ]
-    operands = [plan.win, plan.blk, plan.ids2, vals_t]
-    kwargs = {}
     if accumulate:
-        in_specs.append(out_spec)
-        operands.append(
-            carry.astype(jnp.float32).reshape(n_chan, nblk, cbh, _CBL)
-        )
-        # operand index counts the scalar-prefetch args (win, blk)
-        kwargs["input_output_aliases"] = {4: 0}
+        in_specs = in_specs + [out_spec]
+        out = carry.astype(jnp.float32).reshape(n_chan, nblk, cbh, _CBL)
+    else:
+        out = None
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(g_max,),
-        in_specs=in_specs,
-        out_specs=out_spec,
-    )
-    out = pl.pallas_call(
-        partial(_kernel, n_chan=n_chan, accumulate=accumulate, cbh=cbh),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_chan, nblk, cbh, _CBL), jnp.float32
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 3 * g_max * n_chan * cbh * _CBL * _K,
-            bytes_accessed=n_cells * n_chan * 4
-            + g_max * _K * (n_chan + 1) * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-        **kwargs,
-    )(*operands)
+    for s in range(n_seg):
+        win_s = plan.win[s * _G_SEG:(s + 1) * _G_SEG]
+        blk_s = plan.blk[s * _G_SEG:(s + 1) * _G_SEG]
+        g_seg = int(win_s.shape[0])
+        operands = [win_s, blk_s, plan.ids2, vals_t]
+        kwargs = {}
+        if accumulate:
+            operands.append(out)
+            # operand index counts the scalar-prefetch args (win, blk)
+            kwargs["input_output_aliases"] = {4: 0}
+        out = pl.pallas_call(
+            partial(_kernel, n_chan=n_chan, accumulate=accumulate,
+                    cbh=cbh),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(g_seg,),
+                in_specs=in_specs,
+                out_specs=out_spec,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_chan, nblk, cbh, _CBL), jnp.float32
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 3 * g_seg * n_chan * cbh * _CBL * _K,
+                bytes_accessed=n_cells * n_chan * 4
+                + g_seg * _K * (n_chan + 1) * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+            **kwargs,
+        )(*operands)
     # (C, nblk, CBH, CBL) -> (C, n_cells): flat id = blk*CB + hi*CBL + lo
     return out.reshape(n_chan, n_cells)
 

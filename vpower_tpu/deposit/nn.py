@@ -1014,6 +1014,34 @@ def nn_brute_force(
     return jax.lax.map(one, centers).reshape((n_grid,) * 3)
 
 
+def nn_velocity_grid(
+    particles: Particles,
+    n_grid: int,
+    periodic: bool = True,
+) -> jax.Array:
+    """CHANNELS-FIRST (3, n, n, n) velocity cube: each cell takes the
+    velocity of its nearest particle — nothing else.
+
+    The velocity-spectrum fast path: for a k=1 NN gather the gathered
+    particle's ``(rho v) / rho`` IS its velocity, and the velocity
+    power spectrum never reads the mass cube, so carrying ``rho``
+    through the Voronoi descent (as :func:`nn_interp_to_field` must,
+    to build ``BoxField.mass``) is pure HBM traffic — one of seven
+    state channels at every sweep of every pyramid level.  The
+    reference's canonical distributed scripts gather exactly this
+    3-vector (``parallel_optimized.py:348-356`` fills velocity query
+    queues only); the library path's ``[rho v, rho]`` + divide
+    (``interp.py:272-273``) exists for the mass product we skip here.
+    Empty cells (no valid particle anywhere — occupancy is global,
+    see :func:`nn_gather_grid`) come back zero.
+    """
+    g, occ = nn_gather_grid(
+        particles.pos, particles.vel.astype(jnp.float32), n_grid,
+        particles.box_size, periodic=periodic,
+    )
+    return jnp.where(occ > 0.5, g, 0.0)
+
+
 def nn_interp_to_field(
     particles: Particles,
     n_grid: int,

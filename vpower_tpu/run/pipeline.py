@@ -210,6 +210,29 @@ def power_spectrum(
     comp_order = {"ngp": 1, "cic": 2}.get(method, 0) if compensate else 0
     if compensate and comp_order == 0:
         raise ValueError("compensate=True is defined for ngp/cic only")
+    if (method == "nn" and quantity == "velocity" and not interlace
+            and not deposit_kwargs.get("exact", False)):
+        # velocity-only NN fast path: the spectrum never reads the mass
+        # cube, so skip carrying rho through the descent (~1/7 of the
+        # sweep traffic; see nn_velocity_grid) and fuse deposit -> FFT
+        # power -> binning in one jit
+        from ..deposit.nn import nn_velocity_grid
+
+        @partial(jax.jit, static_argnames=())
+        def run_nn(p):
+            v = nn_velocity_grid(
+                p, n_grid,
+                periodic=deposit_kwargs.get("periodic", True),
+            )
+            p_grid = power_mod.vector_power(v, p.box_size)
+            return power_mod.shell_bin(
+                p_grid, p.box_size, kmin=kmin, kmax=kmax, spacing=spacing
+            )
+
+        k, psum, nsample = run_nn(particles)
+        return PowerSpectrum.from_binned(
+            np.asarray(k), np.asarray(psum), np.asarray(nsample)
+        )
     if not interlace:
         field = deposit(particles, n_grid, method=method, **deposit_kwargs)
         return spectrum_from_field(

@@ -402,34 +402,100 @@ def _single_block_rows(
 # per-block full-resolution field values                                 #
 # ---------------------------------------------------------------------- #
 def _block_values_at(cand, count, n_grid, n_ext_q, mc_q, cell_total,
-                     quantity, exact, want_certify):
+                     quantity, exact, want_certify, want_mask=False):
     """One block's (n_ch, n_grid^3) values at an explicit extended size:
     exact mode routes through the provably-exact window sweep where its
     tiling fits; everything else takes the jitted value-carry/ring
-    path.  Shared by the sweep drivers and the escalation loop."""
+    path.  Shared by the sweep drivers and the escalation loop
+    (``want_mask=True`` also returns the flat per-cell suspect mask for
+    the wrap-exact backstop)."""
     n_ch = 1 if quantity == "energy" else 3
     ext_q = n_ext_q * cell_total
     if exact and n_ext_q % 64 == 0:
         out = _nn_block_values_exact(
             cand, count, n_grid, n_ext_q, mc_q, float(ext_q),
             float(cell_total), quantity, certify=want_certify,
+            want_mask=want_mask,
         )
     else:
         out = _nn_block_values(
             cand, count, n_grid, n_ext_q, mc_q, float(ext_q),
             float(cell_total), quantity, exact, certify=want_certify,
+            want_mask=want_mask,
         )
+    if want_certify and want_mask:
+        return (out[0].reshape(n_ch, n_grid**3), out[1],
+                out[2].reshape(n_grid**3))
     if want_certify:
         return out[0].reshape(n_ch, n_grid**3), out[1]
     return out.reshape(n_ch, n_grid**3)
+
+
+# Work ceiling for the wrap-exact brute-force backstop (suspect cells
+# x particles).  2e12 pair distances is ~10-60 s of VPU time — past it
+# the uncertified cells keep the in-frame assignment with a warning
+# (a production snapshot dense enough to matter never gets here: the
+# backstop only triggers on voids wider than (L - L/m)/2).
+_WRAP_BRUTE_BUDGET = 2.0e12
+
+
+@partial(jax.jit, static_argnames=("box",))
+def _wrap_nn_brute(cgrps, pos, pay, box):
+    """True PERIODIC-metric NN payloads for cell-center groups
+    ``cgrps (G, CH, 3)`` against every particle — the brute-force
+    exactness backstop past the extended-frame representability cap
+    (the open-box frame can misrank pairs beyond axis distance L/2;
+    the wrap metric here cannot)."""
+
+    def one(_, c):
+        d2 = jnp.zeros((c.shape[0], pos.shape[0]), jnp.float32)
+        for a in range(3):
+            d = jnp.abs(pos[None, :, a] - c[:, a, None])
+            d = jnp.minimum(d, box - d)
+            d2 = d2 + d * d
+        return None, pay[jnp.argmin(d2, axis=1)]
+
+    _, out = jax.lax.scan(one, None, cgrps)
+    return out
+
+
+def _wrap_exact_cells(particles, q3, m, n_grid, cell_total, quantity,
+                      sus_flat):
+    """(n_bad, C) true periodic-NN values for the flat block-cell ids
+    ``sus_flat`` (C-order within the block)."""
+    box = float(particles.box_size)
+    iz = sus_flat % n_grid
+    iy = (sus_flat // n_grid) % n_grid
+    ix = sus_flat // (n_grid * n_grid)
+    centers = (
+        (q3[None, :] * n_grid + np.stack([ix, iy, iz], axis=1)) + 0.5
+    ).astype(np.float64) * cell_total
+    n_bad = int(sus_flat.shape[0])
+    ch = 64
+    padb = (-n_bad) % ch
+    centers = np.pad((centers % box).astype(np.float32),
+                     ((0, padb), (0, 0)))
+    pos = jnp.asarray(particles.pos, jnp.float32) % box
+    pay = _quantity_vals(
+        jnp.asarray(particles.vel, jnp.float32),
+        jnp.asarray(particles.density, jnp.float32),
+        cell_total, quantity,
+    )
+    out = _wrap_nn_brute(
+        jnp.asarray(centers).reshape(-1, ch, 3), pos, pay, box
+    )
+    return np.asarray(out).reshape(-1, pay.shape[1])[:n_bad]
 
 
 def _escalate_block(particles, q, m, n_grid, base_margin_cells,
                     margin_max, cell_total, quantity, exact,
                     device=None):
     """Re-run one uncertified block at doubled margins until the
-    certificate clears (or the margin hits the representability cap —
-    then warn and keep the best attempt).  Returns
+    certificate clears; at the representability cap the remaining
+    suspect cells get their TRUE periodic NN by brute force
+    (:func:`_wrap_nn_brute`), so every cell ends exact — unless the
+    suspect-cells x particles work exceeds ``_WRAP_BRUTE_BUDGET``,
+    where the best in-frame attempt is kept with a warning.  Returns
     ``(vals (n_ch, n_grid^3), n_uncertified)``."""
     q3 = np.array([q // (m * m), (q // m) % m, q % m], np.int64)
     mc_req = base_margin_cells
@@ -445,24 +511,40 @@ def _escalate_block(particles, q, m, n_grid, base_margin_cells,
         rows2, k2 = _single_block_rows(
             particles, q3, m, mc * cell_total, device=device,
         )
-        vals, nsus = _block_values_at(
+        at_cap = mc_req >= margin_max
+        out = _block_values_at(
             rows2, jnp.int32(k2), n_grid, n_ext2, mc, cell_total,
-            quantity, exact, True,
+            quantity, exact, True, want_mask=at_cap,
         )
+        vals, nsus = out[0], out[1]
         n_bad = int(nsus)
-        if n_bad == 0 or mc_req >= margin_max:
+        if n_bad == 0 or at_cap:
             if n_bad:
-                import warnings
+                sus_flat = np.nonzero(np.asarray(out[2]))[0]
+                n_p = int(particles.pos.shape[0])
+                if n_bad * n_p <= _WRAP_BRUTE_BUDGET:
+                    fix = _wrap_exact_cells(
+                        particles, q3, m, n_grid, cell_total,
+                        quantity, sus_flat,
+                    )
+                    vals_np = np.array(vals)  # mutable host copy
+                    vals_np[:, sus_flat] = fix.T
+                    vals = (jax.device_put(vals_np, device)
+                            if device is not None
+                            else jnp.asarray(vals_np))
+                    n_bad = 0
+                else:
+                    import warnings
 
-                warnings.warn(
-                    f"block {q}: {n_bad} cells uncertified even at the "
-                    f"largest representable margin ({mc} cells) — a "
-                    f"void wider than (L - L/m)/2, or an exact-mode "
-                    f"block with no window-capable extended size; "
-                    f"those cells keep their nearest in-frame "
-                    f"assignment.",
-                    stacklevel=2,
-                )
+                    warnings.warn(
+                        f"block {q}: {n_bad} cells uncertified at the "
+                        f"largest representable margin ({mc} cells) "
+                        f"and the wrap-exact backstop would need "
+                        f"{n_bad * n_p:.1e} pair distances (budget "
+                        f"{_WRAP_BRUTE_BUDGET:.0e}); those cells keep "
+                        f"their nearest in-frame assignment.",
+                        stacklevel=2,
+                    )
             return vals, n_bad
 
 
@@ -480,7 +562,7 @@ def _quantity_vals(vel, rho, cell, quantity):
 
 def _nn_block_values_exact(
     cand, count, n_grid, n_ext, margin_cells, ext_box, cell, quantity,
-    certify=False,
+    certify=False, want_mask=False,
 ):
     """Provably-exact variant of :func:`_nn_block_values` — routes the
     block through the sorted-segment window sweep
@@ -508,13 +590,15 @@ def _nn_block_values_exact(
     if not certify:
         return out
     margin_phys = margin_cells * (ext_box / n_ext)
-    n_sus = jnp.sum(d2[sl, sl, sl] >= margin_phys * margin_phys)
-    return out, n_sus.astype(jnp.int32)
+    sus = d2[sl, sl, sl] >= margin_phys * margin_phys
+    if want_mask:
+        return out, jnp.sum(sus).astype(jnp.int32), sus
+    return out, jnp.sum(sus).astype(jnp.int32)
 @partial(
     jax.jit,
     static_argnames=(
         "n_grid", "n_ext", "margin_cells", "ext_box", "cell", "quantity",
-        "exact", "certify",
+        "exact", "certify", "want_mask",
     ),
 )
 def _nn_block_values(
@@ -528,10 +612,15 @@ def _nn_block_values(
     quantity: str,
     exact: bool,
     certify: bool = False,
+    want_mask: bool = False,
 ):
     """(C, n_grid^3) full-res field values of one block by exact-NN
     gather (reference ANN semantics: open-box metric, value of the
     nearest particle — ``interp.py:246-277, 1018-1049``).
+
+    ``want_mask=True`` (escalation's final attempt only) additionally
+    returns the per-cell suspect mask (n, n, n bool) so the wrap-exact
+    backstop knows WHICH cells to brute-force.
 
     The fast path (``exact=False``) carries the quantity's channels
     through the Voronoi descent (:func:`~vpower_tpu.deposit.nn.
@@ -558,8 +647,11 @@ def _nn_block_values(
                 return_d2=True,
             )
             out = jnp.where(occ > 0.5, g[:, sl, sl, sl], 0.0)
-            n_sus = jnp.sum(d2[sl, sl, sl] >= margin_phys * margin_phys)
-            return out, n_sus.astype(jnp.int32)
+            sus = d2[sl, sl, sl] >= margin_phys * margin_phys
+            n_sus = jnp.sum(sus).astype(jnp.int32)
+            if want_mask:
+                return out, n_sus, sus
+            return out, n_sus
         g, occ = nn_gather_grid(
             pos, vals, n_ext, ext_box, periodic=False, valid=valid,
         )
@@ -603,8 +695,10 @@ def _nn_block_values(
     # sizes self-escalate to a window-capable size instead of silently
     # keeping ring-class assignments
     thresh = min(margin_phys, 2.0 * ext_box / n_ext)
-    n_sus = jnp.sum(~ok | (d2 >= thresh * thresh))
-    return out, n_sus.astype(jnp.int32)
+    sus = ~ok | (d2 >= thresh * thresh)
+    if want_mask:
+        return out, jnp.sum(sus).astype(jnp.int32), sus
+    return out, jnp.sum(sus).astype(jnp.int32)
 
 
 @partial(
