@@ -11,12 +11,23 @@ Prints one JSON line:
 (vs_baseline > 1 means faster than the reference.)
 """
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compile cache (same facility as the CLI's --compile-cache
+# and the benchmark scripts): the timed loop already excludes compiles,
+# but a cold-process compile of the fused pipeline is minutes on the
+# remote chip — the cache keeps repeat invocations inside any
+# reasonable driver timeout.
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/vpower_jax")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 N_PARTICLES = 10_000_000
 N_GRID = 512
