@@ -620,6 +620,14 @@ _PREMERGE_MIN = 256
 # stays for descriptor-pressure debugging on other parts.
 _STATE_ZC512 = os.environ.get("VPOWER_STATE_ZC512", "1") == "1"
 
+# Fuse consecutive sweep passes into one Pallas call (temporal blocking:
+# iteration 1 sweeps a reach-extended interior of the VMEM window so
+# iteration 2 has correct neighbor values without re-reading HBM).  The
+# sweep is DMA-bound, so each fused pair saves nearly a full read+write
+# of the n^3 state.  _HALO=4 admits 2 fused iterations of reach-2
+# strides.  ``VPOWER_FUSED_SWEEP=0`` opts out (A/B lever).
+_FUSED_SWEEP = os.environ.get("VPOWER_FUSED_SWEEP", "1") == "1"
+
 
 def _pallas_zc(n: int, state_only: bool = False):
     """z-chunk extent for the value-carry Pallas sweep at grid size
@@ -741,11 +749,19 @@ def nn_gather_grid(
             if use_pallas and zc:
                 from .nn_pallas import sweep_tiles_vals
 
-                for _ in range(rounds):
+                # temporal blocking: fuse sweep passes pairwise inside
+                # the kernel (one HBM read+write per fused pair instead
+                # of two — the sweep is DMA-bound, measured ~0.43 s per
+                # separate 512^3 pass)
+                max_it = 2 if (_FUSED_SWEEP and periodic) else 1
+                left = rounds + 1
+                while left > max_it:
+                    it = min(max_it, left - 1)  # leave >=1 for payload
                     st7 = sweep_tiles_vals(
                         st7, None, float(box_size), periodic=periodic,
-                        has_occ=False, zc=zc,
+                        has_occ=False, zc=zc, iters=it,
                     )
+                    left -= it
                 # final pass emits payload channels only (positions are
                 # dead past here; 3 fewer output cubes).  When the
                 # exactness certificate is requested (:mod:`.nn_window`),
@@ -756,7 +772,7 @@ def nn_gather_grid(
                 pay = sweep_tiles_vals(
                     st7, None, float(box_size), periodic=periodic,
                     has_occ=False, payload_out=True, d2_out=return_d2,
-                    zc=zc,
+                    zc=zc, iters=left,
                 )
                 if return_d2:
                     d2_ub = pay[-1]
@@ -778,11 +794,15 @@ def nn_gather_grid(
             kt_p = wrap_pad(
                 sc.reshape(sc.shape[0] * n_ch, n, n, n), 1, halo_z(zc)
             )
-            for _ in range(rounds + 1):
+            max_it = 2 if (_FUSED_SWEEP and periodic) else 1
+            left = rounds + 1
+            while left > 0:
+                it = min(max_it, left)
                 ch = sweep_tiles_vals(
                     ch, kt_p, float(box_size), periodic=periodic,
-                    seeds_prepadded=True, zc=zc,
+                    seeds_prepadded=True, zc=zc, iters=it,
                 )
+                left -= it
             state = (ch, None)
         else:
             d = jnp.where(ch[-1] > 0.5, dist2_at[n](ch[:3]), big)

@@ -194,6 +194,7 @@ def _sweep_vals_kernel(
     box_size: float,
     periodic: bool,
     strides: Tuple[int, ...],
+    iters: int,
 ):
     """Value-carry variant of :func:`_sweep_kernel`: the candidate state
     carries ``n_ch`` f32 channels ``[x, y, z, payload..., occ?]``
@@ -244,82 +245,109 @@ def _sweep_vals_kernel(
     for c in copies:
         c.wait()
 
-    def fiota(dim):
-        return jax.lax.broadcasted_iota(
-            jnp.int32, (tile, tile, zc), dim
-        ).astype(jnp.float32)
+    reach = max(strides)
 
-    fx = (fiota(0) + (jnp.float32(x0) + 0.5)) * cell
-    fy = (fiota(1) + (jnp.float32(y0) + 0.5)) * cell
-    fz = (fiota(2) + (jnp.float32(z0) + 0.5)) * cell
+    def run_iter(e):
+        """One Jacobi sweep over the window region extended by ``e``
+        cells per side beyond the inner tile (temporal blocking: the
+        extended ring gives the NEXT in-kernel iteration correct
+        neighbor values without another HBM round-trip — the sweep is
+        DMA-bound, so fusing iterations nearly halves its cost)."""
+        ex, ez = tile + 2 * e, zc + 2 * e
 
-    def dist2(px, py, pz):
-        dx_ = fx - px
-        dy_ = fy - py
-        dz_ = fz - pz
-        if periodic:
-            dx_ = dx_ - box_size * jnp.round(dx_ / box_size)
-            dy_ = dy_ - box_size * jnp.round(dy_ / box_size)
-            dz_ = dz_ - box_size * jnp.round(dz_ / box_size)
-        return dx_ * dx_ + dy_ * dy_ + dz_ * dz_
+        def fiota(dim):
+            return jax.lax.broadcasted_iota(
+                jnp.int32, (ex, ex, ez), dim
+            ).astype(jnp.float32)
 
-    def window(ref, c0, dx, dy, dz):
-        return ref[
-            c0,
-            slice(h + dx, h + dx + tile),
-            slice(h + dy, h + dy + tile),
-            slice(hz + dz, hz + dz + zc),
-        ]
+        fx = (fiota(0) + (jnp.float32(x0 - e) + 0.5)) * cell
+        fy = (fiota(1) + (jnp.float32(y0 - e) + 0.5)) * cell
+        fz = (fiota(2) + (jnp.float32(z0 - e) + 0.5)) * cell
 
-    best_c = [window(st_t, c, 0, 0, 0) for c in range(n_ch)]
-    if has_occ:
-        best_d = jnp.where(
-            best_c[n_ch - 1] > 0.5,
-            dist2(best_c[0], best_c[1], best_c[2]),
-            big,
-        )
-    else:
-        best_d = dist2(best_c[0], best_c[1], best_c[2])
+        def dist2(px, py, pz):
+            dx_ = fx - px
+            dy_ = fy - py
+            dz_ = fz - pz
+            if periodic:
+                dx_ = dx_ - box_size * jnp.round(dx_ / box_size)
+                dy_ = dy_ - box_size * jnp.round(dy_ / box_size)
+                dz_ = dz_ - box_size * jnp.round(dz_ / box_size)
+            return dx_ * dx_ + dy_ * dy_ + dz_ * dz_
 
-    def consider(ref, c0, dx, dy, dz, best_c, best_d):
-        px = window(ref, c0, dx, dy, dz)
-        py = window(ref, c0 + 1, dx, dy, dz)
-        pz = window(ref, c0 + 2, dx, dy, dz)
+        def window(ref, c0, dx, dy, dz):
+            return ref[
+                c0,
+                slice(h - e + dx, h - e + dx + ex),
+                slice(h - e + dy, h - e + dy + ex),
+                slice(hz - e + dz, hz - e + dz + ez),
+            ]
+
+        best_c = [window(st_t, c, 0, 0, 0) for c in range(n_ch)]
         if has_occ:
-            occ = window(ref, c0 + n_ch - 1, dx, dy, dz)
-            cd = jnp.where(occ > 0.5, dist2(px, py, pz), big)
+            best_d = jnp.where(
+                best_c[n_ch - 1] > 0.5,
+                dist2(best_c[0], best_c[1], best_c[2]),
+                big,
+            )
         else:
-            cd = dist2(px, py, pz)
-        take = cd < best_d
-        new_c = [
-            jnp.where(take, window(ref, c0 + c, dx, dy, dz), best_c[c])
-            if c > 2 else None
-            for c in range(n_ch)
-        ]
-        new_c[0] = jnp.where(take, px, best_c[0])
-        new_c[1] = jnp.where(take, py, best_c[1])
-        new_c[2] = jnp.where(take, pz, best_c[2])
-        return new_c, jnp.where(take, cd, best_d)
+            best_d = dist2(best_c[0], best_c[1], best_c[2])
 
-    for s in strides:
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
-                    if (dx, dy, dz) == (0, 0, 0):
-                        fields = range(n_seeds)  # seeds at own cell
-                    else:
-                        fields = range(-1, n_seeds)  # -1 = state field
-                    for f in fields:
-                        if f < 0:
-                            best_c, best_d = consider(
-                                st_t, 0, dx * s, dy * s, dz * s,
-                                best_c, best_d,
-                            )
+        def consider(ref, c0, dx, dy, dz, best_c, best_d):
+            px = window(ref, c0, dx, dy, dz)
+            py = window(ref, c0 + 1, dx, dy, dz)
+            pz = window(ref, c0 + 2, dx, dy, dz)
+            if has_occ:
+                occ = window(ref, c0 + n_ch - 1, dx, dy, dz)
+                cd = jnp.where(occ > 0.5, dist2(px, py, pz), big)
+            else:
+                cd = dist2(px, py, pz)
+            take = cd < best_d
+            new_c = [
+                jnp.where(take, window(ref, c0 + c, dx, dy, dz), best_c[c])
+                if c > 2 else None
+                for c in range(n_ch)
+            ]
+            new_c[0] = jnp.where(take, px, best_c[0])
+            new_c[1] = jnp.where(take, py, best_c[1])
+            new_c[2] = jnp.where(take, pz, best_c[2])
+            return new_c, jnp.where(take, cd, best_d)
+
+        for s in strides:
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        if (dx, dy, dz) == (0, 0, 0):
+                            fields = range(n_seeds)  # seeds at own cell
                         else:
-                            best_c, best_d = consider(
-                                kt_t, f * n_ch, dx * s, dy * s, dz * s,
-                                best_c, best_d,
-                            )
+                            fields = range(-1, n_seeds)  # -1 = state
+                        for f in fields:
+                            if f < 0:
+                                best_c, best_d = consider(
+                                    st_t, 0, dx * s, dy * s, dz * s,
+                                    best_c, best_d,
+                                )
+                            else:
+                                best_c, best_d = consider(
+                                    kt_t, f * n_ch, dx * s, dy * s,
+                                    dz * s, best_c, best_d,
+                                )
+        return best_c, best_d
+
+    for it in range(iters - 1):
+        e = reach * (iters - 1 - it)
+        best_c, _ = run_iter(e)
+        # Jacobi write-back: every read of the loop above is consumed
+        # before the first store (program order on the same ref)
+        ex, ez = tile + 2 * e, zc + 2 * e
+        for c in range(n_ch):
+            st_t[
+                c,
+                slice(h - e, h - e + ex),
+                slice(h - e, h - e + ex),
+                slice(hz - e, hz - e + ez),
+            ] = best_c[c]
+
+    best_c, best_d = run_iter(0)
 
     if payload_out:
         n_pay = n_ch - 3 - (1 if has_occ else 0)
@@ -433,7 +461,7 @@ def sweep_tiles(
     jax.jit,
     static_argnames=("box_size", "periodic", "has_occ", "payload_out",
                      "d2_out", "tile", "zc", "strides", "interpret",
-                     "seeds_prepadded"),
+                     "seeds_prepadded", "iters"),
 )
 def sweep_tiles_vals(
     state: jax.Array,       # (C, N, N, N) f32: [x, y, z, payload..., occ?]
@@ -448,6 +476,7 @@ def sweep_tiles_vals(
     strides: Tuple[int, ...] = (2, 1),
     interpret: bool = False,
     seeds_prepadded: bool = False,
+    iters: int = 1,
 ):
     """One fused value-carry sweep pass.  ``state`` carries candidate
     position channels 0..2 and payload channels, with a trailing
@@ -475,6 +504,16 @@ def sweep_tiles_vals(
     grid = (n // tile, n // tile, n // zc)
     h, hz = _HALO, halo_z(zc)
     w, wz = tile + 2 * h, zc + 2 * hz
+    # Fused in-kernel iterations (temporal blocking): iteration j
+    # sweeps a region extended reach*(iters-1-j) cells per side, so
+    # every halo read of every iteration stays inside the DMA window.
+    reach = max(strides)
+    assert iters >= 1
+    if iters > 1:
+        assert periodic, "fused iters require periodic wrap semantics"
+        assert reach * iters <= h and reach * iters <= hz, (
+            f"iters={iters} needs halo >= {reach * iters} (h={h}, hz={hz})"
+        )
 
     st_p = wrap_pad(state, 1, hz)
     operands = [st_p]
@@ -498,6 +537,7 @@ def sweep_tiles_vals(
         box_size=float(box_size),
         periodic=periodic,
         strides=strides,
+        iters=iters,
     )
     n_out = (n_ch - 3 - (1 if has_occ else 0)) if payload_out else n_ch
     if payload_out and d2_out:
