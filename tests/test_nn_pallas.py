@@ -100,3 +100,61 @@ def test_nn_assign_pallas_path_matches_fallback():
     da, db = d2(an), d2(bn)
     worse = np.mean(db > da * (1 + 1e-5) + 1e-12)
     assert worse < 2e-3, f"pallas path notably worse: {worse}"
+
+
+# ----------------------------------------------------------------------
+# scoped-VMEM budget guard (VERDICT r4 item 1 — the BENCH_r04 crash)
+# ----------------------------------------------------------------------
+def test_fit_iters_degrades_the_r4_crash_config():
+    """The exact configuration that overflowed scoped VMEM on chip in
+    round 4 (256^3 seeded level of the 512^3 velocity descent: n_ch=7,
+    k=2, zc=256, iters=2 -> 19.93 MB > 16 MB) must be degraded, while
+    the probed-safe configs keep their fused iterations."""
+    from vpower_tpu.deposit.nn_pallas import fit_iters
+
+    assert fit_iters(7, 2, 256, 2) == 1          # the crash config
+    assert fit_iters(8, 2, 256, 2) == 1
+    assert fit_iters(7, 2, 128, 2) == 2          # probed 5.25 MB
+    assert fit_iters(8, 2, 128, 2) == 2          # probed 6.00 MB
+    assert fit_iters(6, 0, 512, 2) == 2          # state-only, r4 A/B
+    assert fit_iters(7, 0, 512, 2) == 2
+    assert fit_iters(7, 2, 384, 2) == 1          # unprobed -> safe
+    assert fit_iters(7, 2, 256, 1) == 1          # iters=1 always legal
+
+
+def test_sweep_tiles_vals_refuses_overbudget_compile():
+    """Tracing the r4 crash configuration raises at TRACE time (a clear
+    ValueError pointing at fit_iters) instead of compiling a kernel
+    doomed to a chip-side scoped-VMEM OOM.  eval_shape traces without
+    allocating the 470 MB state."""
+    from functools import partial
+
+    from vpower_tpu.deposit.nn_pallas import sweep_tiles_vals
+
+    n = 256
+    state = jax.ShapeDtypeStruct((7, n, n, n), jnp.float32)
+    seeds = jax.ShapeDtypeStruct((14, n, n, n), jnp.float32)
+    fn = partial(sweep_tiles_vals, box_size=1.0, zc=256, iters=2)
+    with pytest.raises(ValueError, match="fit_iters"):
+        jax.eval_shape(fn, state, seeds)
+    # the degraded configurations trace fine
+    jax.eval_shape(partial(sweep_tiles_vals, box_size=1.0, zc=256,
+                           iters=1), state, seeds)
+    jax.eval_shape(partial(sweep_tiles_vals, box_size=1.0, zc=128,
+                           iters=2), state, seeds)
+
+
+def test_descent_seeded_level_replans_to_small_chunk():
+    """The 512^3 descent's seeded 256^3 level must now trace with the
+    rerouted (zc=128, iters=2) plan — eval_shape of the full
+    nn_gather_grid with use_pallas=True exercises exactly the nn.py
+    planning that shipped the crash (it raised through sweep_tiles_vals
+    before the reroute)."""
+    from functools import partial
+
+    pos = jax.ShapeDtypeStruct((1000, 3), jnp.float32)
+    vals = jax.ShapeDtypeStruct((1000, 3), jnp.float32)
+    fn = partial(nnmod.nn_gather_grid, n_grid=512, box_size=1.0,
+                 use_pallas=True)
+    out = jax.eval_shape(fn, pos, vals)
+    assert out[0].shape == (3, 512, 512, 512)

@@ -628,6 +628,12 @@ _STATE_ZC512 = os.environ.get("VPOWER_STATE_ZC512", "1") == "1"
 # strides.  ``VPOWER_FUSED_SWEEP=0`` opts out (A/B lever).
 _FUSED_SWEEP = os.environ.get("VPOWER_FUSED_SWEEP", "1") == "1"
 
+# Seeded-sweep fusion strategy when the requested chunk exceeds the
+# scoped-VMEM envelope (fit_iters): shrink the chunk to zc=128 and keep
+# the fusion (1) or keep the chunk and drop to single passes (0).
+# A/B lever for the r5 reroute of the r4 crash config.
+_SEEDED_ZC128 = os.environ.get("VPOWER_SEEDED_ZC128", "1") == "1"
+
 
 def _pallas_zc(n: int, state_only: bool = False):
     """z-chunk extent for the value-carry Pallas sweep at grid size
@@ -747,13 +753,15 @@ def nn_gather_grid(
             del sc, ch
             zc = _pallas_zc(n, state_only=True)
             if use_pallas and zc:
-                from .nn_pallas import sweep_tiles_vals
+                from .nn_pallas import fit_iters, sweep_tiles_vals
 
                 # temporal blocking: fuse sweep passes pairwise inside
                 # the kernel (one HBM read+write per fused pair instead
                 # of two — the sweep is DMA-bound, measured ~0.43 s per
-                # separate 512^3 pass)
+                # separate 512^3 pass).  fit_iters: scoped-VMEM budget
+                # (the r4 crash class; state-only fits through zc=512)
                 max_it = 2 if (_FUSED_SWEEP and periodic) else 1
+                max_it = fit_iters(st7.shape[0], 0, zc, max_it)
                 left = rounds + 1
                 while left > max_it:
                     it = min(max_it, left - 1)  # leave >=1 for payload
@@ -789,12 +797,26 @@ def nn_gather_grid(
             return pay, occ_any
         zc = _pallas_zc(n)
         if use_pallas and zc:
-            from .nn_pallas import halo_z, sweep_tiles_vals, wrap_pad
+            from .nn_pallas import fit_iters, halo_z, sweep_tiles_vals, \
+                wrap_pad
 
+            # Seeded sweeps carry (1 + k) state-sized windows; their
+            # fused-iteration Mosaic stack fits the scoped-VMEM limit
+            # only at zc <= 128 (on-chip probe: 5.25 MB at zc=128 vs
+            # 19.93 MB OOM at zc=256 — the BENCH_r04 crash).  One fused
+            # zc=128 pass moves HALF the HBM bytes of two larger-chunk
+            # passes, so prefer shrinking the chunk to keep the fusion.
+            k_seeds = sc.shape[0]
+            max_it = 2 if (_FUSED_SWEEP and periodic) else 1
+            if max_it > 1 and fit_iters(n_ch, k_seeds, zc, max_it) < max_it:
+                if _SEEDED_ZC128 and n % 128 == 0 and \
+                        fit_iters(n_ch, k_seeds, 128, max_it) == max_it:
+                    zc = 128
+                else:
+                    max_it = fit_iters(n_ch, k_seeds, zc, max_it)
             kt_p = wrap_pad(
                 sc.reshape(sc.shape[0] * n_ch, n, n, n), 1, halo_z(zc)
             )
-            max_it = 2 if (_FUSED_SWEEP and periodic) else 1
             left = rounds + 1
             while left > 0:
                 it = min(max_it, left)

@@ -34,10 +34,47 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["sweep_tiles", "sweep_tiles_vals", "halo_z"]
+__all__ = ["sweep_tiles", "sweep_tiles_vals", "halo_z", "fit_iters"]
 
 _HALO = 4    # x/y halo; strides 1-2 need 2, 4 keeps DMA sublane-aligned
 _ZHALO = 64  # z halo; keeps DMA lane-aligned (128-divisible extents)
+
+
+def fit_iters(n_ch: int, k: int, zc: int, iters: int) -> int:
+    """Largest fused-iteration count <= ``iters`` whose Mosaic stack
+    fits the TPU's ~16 MB scoped-VMEM limit for the value-carry sweep.
+
+    The limit binds the compiler's implicit vector temporaries, NOT the
+    explicit ``scratch_shapes`` windows (VMEM proper is ~128 MB) — so
+    it scales with the per-iteration extended-region register shapes,
+    which resist closed-form modeling (unaligned window relayouts
+    dominate).  Bounds are from on-chip compile probes of this exact
+    kernel (round-5; limit lowered via ``--xla_tpu_scoped_vmem_limit_kib``
+    to read back true requirements):
+
+    ==========  =====  ====  =======  ============
+    mode        n_ch    zc   iters=2  measured MB
+    ==========  =====  ====  =======  ============
+    seeded k=2      7   256        2  19.93 (OOM — the BENCH_r04 crash)
+    seeded k=2      7   256        1   7.88
+    seeded k=2      7   128        2   5.25
+    seeded k=2      8   128        2   6.00
+    state-only      7   512        2   compiles+runs (r4 A/B, 1.45 s)
+    ==========  =====  ====  =======  ============
+
+    Anything outside the probed envelope degrades to 1 (a safe,
+    single-pass compile) instead of surfacing as a chip compile error —
+    the failure mode that shipped in round 4 (``nn.py`` passed
+    ``iters=2`` at seeded zc=256 without a budget check).
+    """
+    if iters <= 1:
+        return iters
+    if k == 0:
+        # state-only sweeps: probed up to n_ch=7 at zc<=512
+        return iters if (n_ch <= 8 and zc <= 512) else 1
+    # seeded sweeps: the zc=256 extended-region temporaries blow the
+    # stack; zc<=128 probed safe through n_ch=8
+    return iters if (n_ch <= 8 and k <= 2 and zc <= 128) else 1
 
 
 def halo_z(zc: int) -> int:
@@ -514,6 +551,17 @@ def sweep_tiles_vals(
         assert reach * iters <= h and reach * iters <= hz, (
             f"iters={iters} needs halo >= {reach * iters} (h={h}, hz={hz})"
         )
+        if not interpret and fit_iters(n_ch, k, zc, iters) < iters:
+            # trace-time guard: this configuration's Mosaic stack
+            # exceeds the ~16 MB scoped-VMEM limit (the round-4 chip
+            # crash class).  Callers plan with fit_iters(); erroring
+            # here (instead of silently degrading) keeps their sweep
+            # pass accounting honest.
+            raise ValueError(
+                f"sweep_tiles_vals(iters={iters}, n_ch={n_ch}, k={k}, "
+                f"zc={zc}) exceeds the scoped-VMEM envelope; consult "
+                f"nn_pallas.fit_iters for the admissible count"
+            )
 
     st_p = wrap_pad(state, 1, hz)
     operands = [st_p]

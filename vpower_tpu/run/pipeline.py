@@ -122,16 +122,12 @@ def _spectrum_device(
     compensate_order: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     data = _quantity_grid(field, quantity)
-    box = field.box_size
-    if data.ndim == 4:
-        p_grid = power_mod.vector_power(data, box)
-    else:
-        p_grid = power_mod.scalar_power(data, box)
-    if compensate_order > 0:
-        p_grid = p_grid * power_mod.window_compensation(
-            field.n_grid, compensate_order, dtype=p_grid.dtype
-        )
-    return power_mod.shell_bin(p_grid, box, kmin=kmin, kmax=kmax, spacing=spacing)
+    # real fields take the rfft half-space route (half the FFT flops /
+    # HBM traffic / power-grid footprint; identical binned output)
+    return power_mod.real_power_binned(
+        data, field.box_size, kmin=kmin, kmax=kmax, spacing=spacing,
+        compensate_order=compensate_order,
+    )
 
 
 def spectrum_from_field(
@@ -224,9 +220,8 @@ def power_spectrum(
                 p, n_grid,
                 periodic=deposit_kwargs.get("periodic", True),
             )
-            p_grid = power_mod.vector_power(v, p.box_size)
-            return power_mod.shell_bin(
-                p_grid, p.box_size, kmin=kmin, kmax=kmax, spacing=spacing
+            return power_mod.real_power_binned(
+                v, p.box_size, kmin=kmin, kmax=kmax, spacing=spacing
             )
 
         k, psum, nsample = run_nn(particles)

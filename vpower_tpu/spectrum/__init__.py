@@ -2,10 +2,15 @@ from .power import (
     power_norm,
     vector_power,
     scalar_power,
+    vector_power_rfft,
+    scalar_power_rfft,
+    real_power_binned,
     vector_power_from_complex,
     scalar_power_from_complex,
     bin_grid,
     shell_bin,
+    shell_bin_rfft,
+    hermitian_weights,
     default_k_bins,
 )
 from .spectrum import (
@@ -22,8 +27,10 @@ from . import fold
 
 __all__ = [
     "power_norm", "vector_power", "scalar_power",
+    "vector_power_rfft", "scalar_power_rfft", "real_power_binned",
     "vector_power_from_complex", "scalar_power_from_complex",
-    "bin_grid", "shell_bin", "default_k_bins",
+    "bin_grid", "shell_bin", "shell_bin_rfft", "hermitian_weights",
+    "default_k_bins",
     "PowerSpectrum", "SpectrumList", "relative_diff",
     "beta_half_space", "empty_spectrum_like", "init_beta_space",
     "random_beta_sequence",

@@ -30,6 +30,8 @@ __all__ = [
     "power_norm",
     "vector_power",
     "scalar_power",
+    "vector_power_rfft",
+    "scalar_power_rfft",
     "vector_power_from_complex",
     "scalar_power_from_complex",
     "cross_power",
@@ -38,6 +40,8 @@ __all__ = [
     "window_compensation",
     "bin_grid",
     "shell_bin",
+    "shell_bin_rfft",
+    "hermitian_weights",
     "default_k_bins",
 ]
 
@@ -73,6 +77,37 @@ def scalar_power(f: jax.Array, box_size: float) -> jax.Array:
     n_grid = f.shape[0]
     a = power_norm(box_size, n_grid)
     fk = jnp.fft.fftn(f)
+    return 0.5 * (jnp.real(fk) ** 2 + jnp.imag(fk) ** 2) * (a * a)
+
+
+def vector_power_rfft(v: jax.Array, box_size: float) -> jax.Array:
+    """Half-space power grid (N, N, N//2 + 1) of a real CHANNELS-FIRST
+    vector field via ``rfftn``.
+
+    The fields of the unfolded pipelines are real, so the full ``fftn``
+    (reference per-component loop, ``parallel_optimized.py:104-118``,
+    which likewise burns a full complex transform on real input) wastes
+    half its flops, HBM traffic, and power-grid footprint reproducing
+    conjugate modes.  ``rfftn`` keeps only ``kz >= 0``; bin with
+    :func:`shell_bin_rfft`, whose Hermitian weights restore exactly the
+    full-grid ``(Psum, Nsample)``.
+    """
+    n_grid = v.shape[-1]
+    a = power_norm(box_size, n_grid)
+    acc = None
+    for c in range(v.shape[0]):
+        fk = jnp.fft.rfftn(v[c])
+        p = 0.5 * (jnp.real(fk) ** 2 + jnp.imag(fk) ** 2)
+        acc = p if acc is None else acc + p
+    return acc * (a * a)
+
+
+def scalar_power_rfft(f: jax.Array, box_size: float) -> jax.Array:
+    """Half-space power grid of a real (N, N, N) scalar field
+    (``rfftn`` counterpart of :func:`scalar_power`)."""
+    n_grid = f.shape[0]
+    a = power_norm(box_size, n_grid)
+    fk = jnp.fft.rfftn(f)
     return 0.5 * (jnp.real(fk) ** 2 + jnp.imag(fk) ** 2) * (a * a)
 
 
@@ -178,22 +213,51 @@ def interlaced_power_from_complex(
 
 
 def window_compensation(
-    n_grid: int, order: int, dtype=jnp.float32
+    n_grid: int, order: int, dtype=jnp.float32, rfft: bool = False
 ) -> jax.Array:
     """(N, N, N) multiplicative correction ``1 / W(k)^2`` for the
     deposition window: ``W(k) = prod_i sinc(pi n_i / N)^order`` with
     order 1 = NGP, 2 = CIC, 3 = TSC.  Apply to the power grid BEFORE
-    binning.  (Not present in the reference — a standard particle-mesh
-    correction, flag-gated off by default for parity.)"""
+    binning.  ``rfft=True`` emits the (N, N, N//2 + 1) half-space form
+    (sinc is even, so the kz plane is just the leading slice).  (Not
+    present in the reference — a standard particle-mesh correction,
+    flag-gated off by default for parity.)"""
     idx = jax.lax.iota(jnp.int32, n_grid)
     wrapped = jnp.where(idx < (n_grid + 1) // 2, idx, idx - n_grid)
     x = jnp.pi * wrapped.astype(dtype) / n_grid
     sinc = jnp.where(x != 0, jnp.sin(x) / jnp.where(x != 0, x, 1.0), 1.0)
     w1d = sinc**order
+    wz = w1d[: n_grid // 2 + 1] if rfft else w1d
     w = (
-        w1d[:, None, None] * w1d[None, :, None] * w1d[None, None, :]
+        w1d[:, None, None] * w1d[None, :, None] * wz[None, None, :]
     )
     return 1.0 / (w * w)
+
+
+def real_power_binned(
+    data: jax.Array,
+    box_size: float,
+    kmin: Optional[float] = None,
+    kmax: Optional[float] = None,
+    spacing: Optional[float] = None,
+    compensate_order: int = 0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused rfft fast path for REAL fields: half-space power grid +
+    optional window compensation + Hermitian-weighted shell binning.
+    Produces the same ``(k, Psum, Nsample)`` as the full-FFT
+    ``vector_power``/``scalar_power`` + ``shell_bin`` route at half the
+    FFT flops, HBM traffic, and power-grid footprint.  ``data`` is a
+    CHANNELS-FIRST (C, N, N, N) vector or an (N, N, N) scalar."""
+    if data.ndim == 4:
+        p_grid = vector_power_rfft(data, box_size)
+    else:
+        p_grid = scalar_power_rfft(data, box_size)
+    if compensate_order > 0:
+        p_grid = p_grid * window_compensation(
+            data.shape[-1], compensate_order, dtype=p_grid.dtype, rfft=True
+        )
+    return shell_bin_rfft(p_grid, box_size, kmin=kmin, kmax=kmax,
+                          spacing=spacing)
 
 
 # ---------------------------------------------------------------------- #
@@ -308,7 +372,8 @@ def bin_grid_local(
     return jnp.where((idx >= 0) & (idx < n_bins), idx, n_bins)
 
 
-def _cascade_bin(power: jax.Array, bins: jax.Array, n_bins: int):
+def _cascade_bin(power: jax.Array, bins: jax.Array, n_bins: int,
+                 weights: Optional[jax.Array] = None):
     """Two-level accumulation cascade shared by local and global binning.
 
     Per-x-slice partial sums, then a cross-slice reduction (bounds f32
@@ -318,21 +383,94 @@ def _cascade_bin(power: jax.Array, bins: jax.Array, n_bins: int):
     updates/s (measured 2.2 s for a 512^3 grid; the matmul form takes
     ~0.3 s and a planned Pallas variant keeps the one-hot in VMEM).
     ``lax.map`` keeps one slice's one-hot transient at a time.
+
+    ``weights`` (broadcastable to ``power.shape[1:]``) multiplies both
+    the power and the mode count — the Hermitian multiplicity of the
+    rfft half-space (2 for planes whose conjugate was dropped).
     """
     n0 = power.shape[0]
     flat_bins = bins.reshape(n0, -1)
     flat_power = power.reshape(n0, -1)
+    if weights is not None:
+        w_row = jnp.broadcast_to(
+            weights.astype(power.dtype), power.shape[1:]
+        ).reshape(-1)
     bin_ids = jnp.arange(n_bins + 1, dtype=bins.dtype)
 
     def slice_sums(args):
         p_row, b_row = args
         onehot = (b_row[:, None] == bin_ids[None, :]).astype(p_row.dtype)
-        psum = jnp.dot(p_row, onehot, preferred_element_type=p_row.dtype)
-        nsamp = jnp.sum(onehot, axis=0)
+        if weights is None:
+            psum = jnp.dot(p_row, onehot, preferred_element_type=p_row.dtype)
+            nsamp = jnp.sum(onehot, axis=0)
+        else:
+            psum = jnp.dot(
+                p_row * w_row, onehot, preferred_element_type=p_row.dtype
+            )
+            nsamp = jnp.dot(w_row, onehot, preferred_element_type=p_row.dtype)
         return psum[:n_bins], nsamp[:n_bins]
 
     psums, nsamps = jax.lax.map(slice_sums, (flat_power, flat_bins))
     return jnp.sum(psums, axis=0), jnp.sum(nsamps, axis=0)
+
+
+def hermitian_weights(n_grid: int, dtype=jnp.float32) -> jax.Array:
+    """(N//2 + 1,) multiplicity of each rfft kz plane in the full FFT
+    grid: planes 0 < kz < N/2 stand for themselves AND their dropped
+    conjugate at N - kz (weight 2); kz = 0 and (even N) kz = N/2 are
+    self-conjugate planes the full grid also holds exactly once
+    (weight 1)."""
+    nz = n_grid // 2 + 1
+    idx = jax.lax.iota(jnp.int32, nz)
+    w = jnp.full((nz,), 2.0, dtype)
+    w = jnp.where(idx == 0, 1.0, w)
+    if n_grid % 2 == 0:
+        w = jnp.where(idx == n_grid // 2, 1.0, w)
+    return w
+
+
+def shell_bin_rfft(
+    power_half: jax.Array,
+    box_size: float,
+    kmin: Optional[float] = None,
+    kmax: Optional[float] = None,
+    spacing: Optional[float] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Bin an (N, N, N//2 + 1) rfft half-space power grid into spherical
+    k-shells, reproducing the full-grid :func:`shell_bin` ``(Psum,
+    Nsample)`` via Hermitian plane weights.
+
+    ``Nsample`` is exactly the full-grid count (integer arithmetic in
+    f32); ``Psum`` agrees to f32 rounding of the cascade (a dropped
+    conjugate's power enters as ``2 * p`` instead of ``p + p`` — equal
+    in f32 — but the reduction tree differs).  No ``kshift`` parameter:
+    a shifted |k| lattice breaks the +-kz symmetry the weights encode,
+    and folded (shifted) fields are complex anyway — use the full-grid
+    path there.
+    """
+    n_grid = power_half.shape[0]
+    cell_size = box_size / n_grid
+    kmin, kmax, spacing, n_bins = default_k_bins(
+        box_size, cell_size, kmin, kmax, spacing
+    )
+    ks = _axis_freqs(n_grid, box_size, power_half.dtype)
+    nz = n_grid // 2 + 1
+    kz = ks[:nz]
+    if n_grid % 2 == 0:
+        # fftfreq puts the Nyquist index at -N/2; rfft uses +N/2 —
+        # same |k|, flip the sign for clarity
+        kz = jnp.abs(kz.at[n_grid // 2].set(-ks[n_grid // 2]))
+    k = jnp.sqrt(
+        (ks**2)[:, None, None]
+        + (ks**2)[None, :, None]
+        + (kz**2)[None, None, :]
+    )
+    idx = jnp.floor((k - (kmin - spacing / 2.0)) / spacing).astype(jnp.int32)
+    bins = jnp.where((idx >= 0) & (idx < n_bins), idx, n_bins)
+    w = hermitian_weights(n_grid, power_half.dtype)
+    psum, nsample = _cascade_bin(power_half, bins, n_bins, weights=w)
+    k_centers = kmin + spacing * jnp.arange(n_bins, dtype=power_half.dtype)
+    return k_centers, psum, nsample
 
 
 def shell_bin_local(
