@@ -65,6 +65,54 @@ def pipeline(particles):
     return real_power_binned(v, BOX)
 
 
+def _accuracy_gates(particles, psum, nsample):
+    """Regress CORRECTNESS alongside speed (VERDICT r4 item 5): binned
+    spectra vs the committed f64 goldens (benchmarks/golden_bench.npz —
+    scipy cKDTree + numpy pocketfft, nothing shared with the JAX path;
+    see benchmarks/make_golden.py).
+
+    Gates (empirical, measured on chip 2026-08-19):
+    * Nsample bit-exact — the rfft Hermitian-weighted binning must
+      reproduce the full-lattice mode counts exactly.
+    * NGP max rel err <= 1e-6 — the deposit is exact, so this certifies
+      the FFT power + shell-binning chain at the 1e-6 north star at
+      512^3 (measured 2.3e-7).
+    * NN max rel err <= 5e-3 — the fast descent's documented ~1e-3
+      misassignment class (measured 1.34e-3); a dropped sweep pass or
+      broken level shows up at percent level.
+    Returns the two rel errs for the bench JSON."""
+    golden = np.load(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "benchmarks", "golden_bench.npz")
+    )
+
+    def gate(psum, nsamp, tag, tol):
+        gp = golden[f"{tag}_psum_{N_GRID}"]
+        gn = golden[f"{tag}_nsample_{N_GRID}"]
+        assert np.array_equal(np.asarray(nsamp, np.float64), gn), (
+            f"{tag} Nsample mismatch vs golden"
+        )
+        p = np.asarray(psum, np.float64)
+        mask = gp > 0
+        err = float(np.max(np.abs(p[mask] - gp[mask]) / gp[mask]))
+        assert err <= tol, f"{tag} max rel err {err:.3e} > {tol:.0e}"
+        return err
+
+    nn_err = gate(psum, nsample, "nn", 5e-3)
+
+    from vpower_tpu.run.pipeline import _deposit_scatter
+    from vpower_tpu.spectrum.power import real_power_binned
+
+    @jax.jit
+    def ngp_run(p):
+        f = _deposit_scatter(p, N_GRID, "ngp")
+        return real_power_binned(f.velocity, BOX)
+
+    _, psum_ngp, nsamp_ngp = ngp_run(particles)
+    ngp_err = gate(psum_ngp, nsamp_ngp, "ngp", 1e-6)
+    return nn_err, ngp_err
+
+
 def _device_watchdog(first_op_timeout=240.0):
     """Fail fast if the accelerator is unreachable (a dead remote-TPU
     tunnel makes the first op block forever — INSIDE a C call holding
@@ -139,6 +187,11 @@ def main():
 
     value = float(min(times))
 
+    # correctness gates vs the committed f64 goldens — a perf change
+    # that silently degrades assignments fails the bench, not just
+    # slows it (VERDICT r4: bench measured speed but not accuracy)
+    nn_err, ngp_err = _accuracy_gates(particles, psum, nsample)
+
     # North-star config (BASELINE.md): 1024^3 dynamic range on one chip
     # via the planner's own move — fold m=2 over 512^3, all 8 betas
     # (previously README-only; tracked here so BENCH_r*.json regresses
@@ -176,6 +229,11 @@ def main():
                 ),
                 "range1024_s": round(range1024_s, 2),
                 "range1024_target_s": 10.0,
+                # max rel err of the binned spectrum vs the independent
+                # f64 goldens (NN: fast-descent class; NGP: exact
+                # deposit, certifies FFT+binning at the 1e-6 target)
+                "max_rel_err_nn": float(f"{nn_err:.3e}"),
+                "max_rel_err_ngp": float(f"{ngp_err:.3e}"),
             }
         )
     )

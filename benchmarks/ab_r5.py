@@ -1,15 +1,17 @@
 """Round-5 chip A/Bs: seeded-sweep fusion strategy and rfft-vs-fftn.
 
-Three measurements on the real chip, steady-state min-of-3 each:
+HISTORICAL RECORD (ab_r5.json): the zc=128/iters=2 fused-seeded
+reroute measured SLOWER (1.705 s) than plain zc=256 single passes
+(1.558 s) — the seeded levels are DMA-descriptor-bound, so halving the
+chunk costs more than the fused pass saves.  Both arms were then
+obsoleted by the seeded-once + state-only split in ``nn.py`` (later
+passes provably never need the seed fields); the
+``VPOWER_SEEDED_ZC128`` knob no longer exists, so re-running this
+script today measures the same (current) plan twice.  rfft vs fftn
+(0.235 vs 0.313 s) still reflects live alternatives.
 
-1. ``nn_velocity_grid`` 512^3 with the seeded levels rerouted to
-   zc=128 / iters=2 (``VPOWER_SEEDED_ZC128=1``, the r5 default);
-2. the same with the chunk kept and fusion dropped (zc as planned,
-   iters=1 — the safe r4-crash fallback);
-3. FFT power + binning at 512^3: rfft half-space route vs full fftn.
-
-Each descent variant runs in a SUBPROCESS (the env knob is read at
-module import).  Writes ``benchmarks/ab_r5.json``.
+Three measurements on the real chip, steady-state min-of-3 each.
+Writes ``benchmarks/ab_r5.json``.
 """
 import json
 import os

@@ -145,11 +145,11 @@ def test_sweep_tiles_vals_refuses_overbudget_compile():
 
 
 def test_descent_seeded_level_replans_to_small_chunk():
-    """The 512^3 descent's seeded 256^3 level must now trace with the
-    rerouted (zc=128, iters=2) plan — eval_shape of the full
+    """The 512^3 descent's seeded 256^3 level must trace with the
+    seeded-once + state-only plan — eval_shape of the full
     nn_gather_grid with use_pallas=True exercises exactly the nn.py
-    planning that shipped the crash (it raised through sweep_tiles_vals
-    before the reroute)."""
+    planning that shipped the r4 crash (it raised through
+    sweep_tiles_vals before the replan)."""
     from functools import partial
 
     pos = jax.ShapeDtypeStruct((1000, 3), jnp.float32)
@@ -158,3 +158,49 @@ def test_descent_seeded_level_replans_to_small_chunk():
                  use_pallas=True)
     out = jax.eval_shape(fn, pos, vals)
     assert out[0].shape == (3, 512, 512, 512)
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_later_pass_seed_redundancy(periodic):
+    """Pass 2 of a seeded level may drop the seed fields with a
+    BIT-IDENTICAL result (the nn.py seeded-once + state-only split):
+    the merge is a strict-less min over the same offset set each pass,
+    seeds never change, and every candidate is scored against the same
+    cell center — so pass 1's output already lower-bounds anything the
+    seeds could re-offer in pass 2."""
+    from vpower_tpu.deposit.nn_pallas import sweep_tiles_vals
+
+    key = jax.random.PRNGKey(3)
+    n, k, box = 16, 2, 1.0
+    kp, kv = jax.random.split(key)
+    pos = jax.random.uniform(kp, (400, 3), jnp.float32) % box
+    vals = jax.random.normal(kv, (400, 3), jnp.float32)
+
+    seed_ch = nnmod._seed_grids_vals(pos, vals, n, box, k)  # (k, C, n^3)
+    n_ch = seed_ch.shape[1]
+    seeds = seed_ch.reshape(k * n_ch, n, n, n)
+    state0 = seed_ch[0]
+
+    def seeded(st):
+        return sweep_tiles_vals(st, seeds, box, periodic=periodic,
+                                zc=n, interpret=True)
+
+    out1 = seeded(state0)
+    both_seeded = seeded(out1)
+    state_only = sweep_tiles_vals(out1, None, box, periodic=periodic,
+                                  zc=n, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(both_seeded), np.asarray(state_only)
+    )
+
+    # same property for the index kernel (the nn_assign split)
+    si, sp = nnmod._seed_grids(pos, n, box, k)
+    sp_flat = sp.reshape(k * 3, n, n, n)
+    i1, p1, _ = sweep_tiles(si[0], sp[0], si, sp_flat, box,
+                            periodic=periodic, interpret=True)
+    i2s, p2s, d2s = sweep_tiles(i1, p1, si, sp_flat, box,
+                                periodic=periodic, interpret=True)
+    i2, p2, d2 = sweep_tiles(i1, p1, None, None, box,
+                             periodic=periodic, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i2s), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(d2s), np.asarray(d2))

@@ -586,6 +586,53 @@ def _premerge_inplace(ch, sc0, n_grid, box_size, periodic, big):
     return jax.lax.fori_loop(0, n_slab, body, ch)
 
 
+def _premerge_upsampled(state_ch, sc0, n_grid, box_size, periodic, big):
+    """Fused 2x nearest-upsample + own-cell rank-0 premerge: one
+    elementwise pass instead of ``_upsample_vals`` (3 gather passes,
+    0.17 s / 33 GB at 512^3 — ``benchmarks/descent_breakdown.json``)
+    followed by ``_premerge_inplace`` (another full read+write).
+
+    The upsampled state is never materialized: each coarse channel is
+    broadcast to ``(m, 2, m, 2, m, 2)`` and reshaped — row-major-trivial,
+    so XLA fuses it straight into the compare/select — and the peak is
+    coarse-state + seeds + merged output (~7.4 GB at 512^3) vs the
+    sequential path's upsampled + seeds + merged (~10.1 GB).  Output is
+    bit-identical to the sequential pair (asserted by
+    ``tests/test_nn_values.py``)."""
+    dtype = state_ch.dtype
+    m = state_ch.shape[1]
+    assert 2 * m == n_grid, (m, n_grid)
+    axis = _centers_1d(n_grid, box_size, dtype)
+    cx = axis[:, None, None]
+    cy = axis[None, :, None]
+    cz = axis[None, None, :]
+
+    def up(c):
+        c = jnp.broadcast_to(
+            c[:, None, :, None, :, None], (m, 2, m, 2, m, 2)
+        )
+        return c.reshape(n_grid, n_grid, n_grid)
+
+    def d2(px, py, pz):
+        dx = cx - px
+        dy = cy - py
+        dz = cz - pz
+        if periodic:
+            dx = dx - box_size * jnp.round(dx / box_size)
+            dy = dy - box_size * jnp.round(dy / box_size)
+            dz = dz - box_size * jnp.round(dz / box_size)
+        return dx * dx + dy * dy + dz * dz
+
+    cd_seed = jnp.where(
+        sc0[-1] > 0.5, d2(sc0[0], sc0[1], sc0[2]), big
+    )
+    take = cd_seed < d2(up(state_ch[0]), up(state_ch[1]), up(state_ch[2]))
+    return jnp.stack([
+        jnp.where(take, sc0[c], up(state_ch[c]))
+        for c in range(state_ch.shape[0])
+    ])
+
+
 def _sweep_state_xla(ch, dist2, big, shifts):
     """State-only XLA sweep (pre-merged mode: every candidate valid)."""
     d = dist2(ch[:3])
@@ -628,11 +675,10 @@ _STATE_ZC512 = os.environ.get("VPOWER_STATE_ZC512", "1") == "1"
 # strides.  ``VPOWER_FUSED_SWEEP=0`` opts out (A/B lever).
 _FUSED_SWEEP = os.environ.get("VPOWER_FUSED_SWEEP", "1") == "1"
 
-# Seeded-sweep fusion strategy when the requested chunk exceeds the
-# scoped-VMEM envelope (fit_iters): shrink the chunk to zc=128 and keep
-# the fusion (1) or keep the chunk and drop to single passes (0).
-# A/B lever for the r5 reroute of the r4 crash config.
-_SEEDED_ZC128 = os.environ.get("VPOWER_SEEDED_ZC128", "1") == "1"
+# (The r5 zc=128 fused-seeded reroute A/B lived here; measured SLOWER
+# than plain zc=256 single passes — benchmarks/ab_r5.json, 1.705 vs
+# 1.558 s — and was then obsoleted outright by the seed-redundancy
+# split below: only pass 1 of a seeded level reads the seed fields.)
 
 
 def _pallas_zc(n: int, state_only: bool = False):
@@ -800,29 +846,33 @@ def nn_gather_grid(
             from .nn_pallas import fit_iters, halo_z, sweep_tiles_vals, \
                 wrap_pad
 
-            # Seeded sweeps carry (1 + k) state-sized windows; their
-            # fused-iteration Mosaic stack fits the scoped-VMEM limit
-            # only at zc <= 128 (on-chip probe: 5.25 MB at zc=128 vs
-            # 19.93 MB OOM at zc=256 — the BENCH_r04 crash).  One fused
-            # zc=128 pass moves HALF the HBM bytes of two larger-chunk
-            # passes, so prefer shrinking the chunk to keep the fusion.
-            k_seeds = sc.shape[0]
-            max_it = 2 if (_FUSED_SWEEP and periodic) else 1
-            if max_it > 1 and fit_iters(n_ch, k_seeds, zc, max_it) < max_it:
-                if _SEEDED_ZC128 and n % 128 == 0 and \
-                        fit_iters(n_ch, k_seeds, 128, max_it) == max_it:
-                    zc = 128
-                else:
-                    max_it = fit_iters(n_ch, k_seeds, zc, max_it)
+            # Only PASS 1 needs the seed fields.  The merge is a
+            # monotone strict-less min over an offset set identical in
+            # every pass, the seed fields never change, and every
+            # candidate is scored against the SAME cell center c — so
+            # pass 1's output at c already lower-bounds every
+            # seeds[r][c+d] candidate any later pass could re-offer,
+            # and the re-read can never win.  Passes 2+ are therefore
+            # state-only (bit-identical result, asserted by
+            # tests/test_nn_pallas.py::test_later_pass_seed_redundancy),
+            # which drops each later pass's read traffic from
+            # (1 + k) fields to 1 and frees the scoped VMEM that the
+            # r4 fused-seeded attempt blew (BENCH_r04 19.93 MB OOM).
             kt_p = wrap_pad(
                 sc.reshape(sc.shape[0] * n_ch, n, n, n), 1, halo_z(zc)
             )
-            left = rounds + 1
+            ch = sweep_tiles_vals(
+                ch, kt_p, float(box_size), periodic=periodic,
+                seeds_prepadded=True, zc=zc, iters=1,
+            )
+            left = rounds
+            max_it = 2 if (_FUSED_SWEEP and periodic) else 1
+            max_it = fit_iters(n_ch, 0, zc, max_it)
             while left > 0:
                 it = min(max_it, left)
                 ch = sweep_tiles_vals(
-                    ch, kt_p, float(box_size), periodic=periodic,
-                    seeds_prepadded=True, zc=zc, iters=it,
+                    ch, None, float(box_size), periodic=periodic,
+                    zc=zc, iters=it,
                 )
                 left -= it
             state = (ch, None)
@@ -1001,7 +1051,6 @@ def nn_assign(
         if use_pallas and n % 128 == 0:
             from .nn_pallas import sweep_tiles, wrap_pad
 
-            # pad the (unchanging) seed fields once for all passes
             ki_p = wrap_pad(si, 1)
             kp_p = wrap_pad(sp.reshape(si.shape[0] * 3, n, n, n), 1)
             # the kernel compares candidates in parallel (no in-pass
@@ -1011,10 +1060,18 @@ def nn_assign(
             # than zc=128 — the sweep is DMA-descriptor-bound (measured
             # 2.24 -> 1.85 s nn_assign at 512^3); zc=512 overflows VMEM.
             zc = 256 if n % 256 == 0 else 128
-            for _ in range(level_rounds + 1):
+            # only pass 1 reads the seed fields; re-offering the
+            # unchanged seeds in later passes is provably redundant
+            # (strict-less min over the same offset set, scored against
+            # the same centers — see the value-carry split above)
+            bi, bp, _ = sweep_tiles(
+                bi, bp, ki_p, kp_p, float(box_size), periodic=periodic,
+                seeds_prepadded=True, zc=zc,
+            )
+            for _ in range(level_rounds):
                 bi, bp, _ = sweep_tiles(
-                    bi, bp, ki_p, kp_p, float(box_size), periodic=periodic,
-                    seeds_prepadded=True, zc=zc,
+                    bi, bp, None, None, float(box_size),
+                    periodic=periodic, zc=zc,
                 )
             bd = jnp.where(bi >= 0, dist2_at[n](bp), big)
             state = (bi, bp, bd)

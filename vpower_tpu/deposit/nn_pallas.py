@@ -94,10 +94,7 @@ def halo_z(zc: int) -> int:
 
 
 def _sweep_kernel(
-    state_idx_hbm, state_pos_hbm, seed_idx_hbm, seed_pos_hbm,
-    out_idx, out_pos, out_d2,
-    sidx_t, spos_t, kidx_t, kpos_t, sems,
-    *,
+    *refs,
     n_grid: int,
     tile: int,
     zc: int,
@@ -106,6 +103,15 @@ def _sweep_kernel(
     periodic: bool,
     strides: Tuple[int, ...],
 ):
+    if n_seeds > 0:
+        (state_idx_hbm, state_pos_hbm, seed_idx_hbm, seed_pos_hbm,
+         out_idx, out_pos, out_d2,
+         sidx_t, spos_t, kidx_t, kpos_t, sems) = refs
+    else:
+        (state_idx_hbm, state_pos_hbm,
+         out_idx, out_pos, out_d2,
+         sidx_t, spos_t, sems) = refs
+        seed_idx_hbm = seed_pos_hbm = kidx_t = kpos_t = None
     tx = pl.program_id(0)
     ty = pl.program_id(1)
     tz = pl.program_id(2)
@@ -119,13 +125,17 @@ def _sweep_kernel(
     cell = box_size / n_grid
     big = jnp.float32(3.0e38)
 
-    copies = []
-    for src, dst, lead in (
+    pairs = [
         (state_idx_hbm, sidx_t, False),
         (state_pos_hbm, spos_t, True),
-        (seed_idx_hbm, kidx_t, True),
-        (seed_pos_hbm, kpos_t, True),
-    ):
+    ]
+    if n_seeds > 0:
+        pairs += [
+            (seed_idx_hbm, kidx_t, True),
+            (seed_pos_hbm, kpos_t, True),
+        ]
+    copies = []
+    for src, dst, lead in pairs:
         if lead:
             c = pltpu.make_async_copy(
                 src.at[:, pl.ds(x0, w), pl.ds(y0, w), pl.ds(z0, wz)],
@@ -432,23 +442,39 @@ def sweep_tiles(
 ):
     """One fused sweep pass.  Returns (best_idx, best_pos, best_d2) with
     best_pos channels-first.  Requires N to be a multiple of 128 (lane
-    alignment of the z chunking); tests run any N in interpret mode."""
+    alignment of the z chunking); tests run any N in interpret mode.
+    ``seed_idx=None`` runs the state-only repair pass (passes 2+ of a
+    level: re-reading the unchanged seed fields is provably redundant —
+    see the seeded-once split in ``nn.py`` — so dropping them cuts the
+    pass's HBM reads from 12 to 4 channel-cubes)."""
     n = state_idx.shape[0]
     assert n % tile == 0, "grid must divide the tile size"
     zc = min(zc, n)
     assert n % zc == 0
-    k = seed_idx.shape[0]
+    k = seed_idx.shape[0] if seed_idx is not None else 0
     grid = (n // tile, n // tile, n // zc)
     h, hz = _HALO, _ZHALO
     w, wz = tile + 2 * h, zc + 2 * hz
 
     si_p = wrap_pad(state_idx, 0)
     sp_p = wrap_pad(state_pos, 1)
-    if seeds_prepadded:
-        ki_p, kp_p = seed_idx, seed_pos
-    else:
-        ki_p = wrap_pad(seed_idx, 1)
-        kp_p = wrap_pad(seed_pos, 1)
+    operands = [si_p, sp_p]
+    scratch = [
+        pltpu.VMEM((w, w, wz), jnp.int32),
+        pltpu.VMEM((3, w, w, wz), jnp.float32),
+    ]
+    if k > 0:
+        if seeds_prepadded:
+            ki_p, kp_p = seed_idx, seed_pos
+        else:
+            ki_p = wrap_pad(seed_idx, 1)
+            kp_p = wrap_pad(seed_pos, 1)
+        operands += [ki_p, kp_p]
+        scratch += [
+            pltpu.VMEM((k, w, w, wz), jnp.int32),
+            pltpu.VMEM((3 * k, w, w, wz), jnp.float32),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((len(operands),)))
 
     kernel = partial(
         _sweep_kernel,
@@ -468,12 +494,7 @@ def sweep_tiles(
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
         out_specs=(
             pl.BlockSpec((tile, tile, zc), lambda i, j, l: (i, j, l),
                          memory_space=pltpu.VMEM),
@@ -483,15 +504,9 @@ def sweep_tiles(
                          memory_space=pltpu.VMEM),
         ),
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((w, w, wz), jnp.int32),
-            pltpu.VMEM((3, w, w, wz), jnp.float32),
-            pltpu.VMEM((k, w, w, wz), jnp.int32),
-            pltpu.VMEM((3 * k, w, w, wz), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(si_p, sp_p, ki_p, kp_p)
+    )(*operands)
 
 
 @partial(
