@@ -88,14 +88,22 @@ def main():
     sc512 = _seed_grids_vals(pos, vals, 512, box, 1)[0]      # (7, 512^3)
     st256 = jax.random.normal(key, (6, 256, 256, 256), jnp.float32) % box
 
+    from vpower_tpu.deposit.nn import _upsample_vals_mxu
+
     t_seq, gb_seq = measure(lambda s, c: seq(s, c, 512), st256, sc512)
     t_fus, gb_fus = measure(lambda s, c: fused(s, c, 512), st256, sc512)
+    t_upt, gb_upt = measure(_upsample_vals, st256)
+    t_upm, gb_upm = measure(_upsample_vals_mxu, st256)
 
     rec = {
         "seq_512_s": round(t_seq, 4),
         "seq_512_gb": round(gb_seq / 1e9, 2),
         "fused_512_s": round(t_fus, 4),
         "fused_512_gb": round(gb_fus / 1e9, 2),
+        "upsample_take_s": round(t_upt, 4),
+        "upsample_take_gb": round(gb_upt / 1e9, 2),
+        "upsample_mxu_s": round(t_upm, 4),
+        "upsample_mxu_gb": round(gb_upm / 1e9, 2),
     }
     print(json.dumps(rec), flush=True)
     with open(os.path.join(HERE, "ab_premerge.json"), "w") as fh:

@@ -72,8 +72,8 @@ def main():
     from vpower_tpu.deposit import nn as nnmod
     from vpower_tpu.deposit.nn import (
         _coarsest_exact_vals, _make_dist2, _parent_dist2, _pallas_zc,
-        _pool_seeds_vals, _premerge_inplace, _seed_grids_vals,
-        _upsample_vals,
+        _pool_seeds_vals, _premerge_upsampled, _seed_grids_vals,
+        _upsample_vals_mxu,
     )
     from vpower_tpu.deposit.nn_pallas import (
         fit_iters, halo_z, sweep_tiles_vals, wrap_pad,
@@ -120,7 +120,7 @@ def main():
         n_ch = sc.shape[1]
 
         def level(st, sc, n=n, n_ch=n_ch):
-            ch = _upsample_vals(st)
+            ch = _upsample_vals_mxu(st)
             zc = _pallas_zc(n)
             if zc:
                 # mirrors nn.py's r5 plan: one seeded pass, then
@@ -163,17 +163,13 @@ def main():
     for n in list(seeds):
         if n != n_grid:
             del seeds[n]
-    results["upsample_512"], ch512 = measure(
-        "upsample_512", lambda st: _upsample_vals(st[:-1]), state_ch
+    results["fused_premerge_512"], st7 = measure(
+        "fused_premerge_512",
+        lambda st, sc: _premerge_upsampled(st[:-1], sc[0], n_grid, box,
+                                           periodic, big),
+        state_ch, seed_ch,
     )
-    del state_ch
-    results["premerge_512"], st7 = measure(
-        "premerge_512",
-        lambda ch, sc: _premerge_inplace(ch, sc[0], n_grid, box, periodic,
-                                         big),
-        ch512, seed_ch,
-    )
-    del ch512, seed_ch, seeds
+    del state_ch, seed_ch, seeds
     zc = _pallas_zc(n_grid, state_only=True)
 
     def final_sweep(st):

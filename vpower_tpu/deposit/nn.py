@@ -586,32 +586,53 @@ def _premerge_inplace(ch, sc0, n_grid, box_size, periodic, big):
     return jax.lax.fori_loop(0, n_slab, body, ch)
 
 
-def _premerge_upsampled(state_ch, sc0, n_grid, box_size, periodic, big):
-    """Fused 2x nearest-upsample + own-cell rank-0 premerge: one
-    elementwise pass instead of ``_upsample_vals`` (3 gather passes,
-    0.17 s / 33 GB at 512^3 — ``benchmarks/descent_breakdown.json``)
-    followed by ``_premerge_inplace`` (another full read+write).
+def _upsample_vals_mxu(ch):
+    """2x nearest upsampling as one-hot expansion matmuls — the MXU
+    streams what ``jnp.take``'s gathers walk (the 3-gather
+    ``_upsample_vals`` measured 0.17 s / 33 GB accessed at 512^3 —
+    ``benchmarks/descent_breakdown.json``).  Bit-exact: each output
+    element is a single-term dot (M has exactly one 1 per column), BUT
+    only at matmul precision HIGHEST — the TPU default (one bf16 pass)
+    rounds the operand to bf16 first (measured 2^-9-scale errors on
+    0.6% of elements), and HIGH (bf16x3) still truncates the low
+    mantissa segment (measured 2^-17-scale); bf16x6 carries all three
+    8-bit segments of the f32 mantissa, each multiplied by an exactly-
+    representable 1.0, so the value reconstructs exactly (disjoint
+    mantissa segments of one f32 sum without rounding).
 
-    The upsampled state is never materialized: each coarse channel is
-    broadcast to ``(m, 2, m, 2, m, 2)`` and reshaped — row-major-trivial,
-    so XLA fuses it straight into the compare/select — and the peak is
-    coarse-state + seeds + merged output (~7.4 GB at 512^3) vs the
-    sequential path's upsampled + seeds + merged (~10.1 GB).  Output is
-    bit-identical to the sequential pair (asserted by
-    ``tests/test_nn_values.py``)."""
+    The broadcast-reshape alternative is a trap: anything shaped
+    ``(..., m, 2)`` materializes under the TPU (8, 128) tile with the
+    2 padded to 128 lanes — a measured 32 GB allocation at 512^3."""
+    dtype = ch.dtype
+    prec = jax.lax.Precision.HIGHEST
+
+    def expand(m):
+        return (
+            jnp.arange(m, dtype=jnp.int32)[:, None]
+            == jnp.arange(2 * m, dtype=jnp.int32)[None, :] // 2
+        ).astype(dtype)
+
+    ch = jnp.einsum("cxyz,xX->cXyz", ch, expand(ch.shape[1]),
+                    precision=prec)
+    ch = jnp.einsum("cxyz,yY->cxYz", ch, expand(ch.shape[2]),
+                    precision=prec)
+    return jnp.einsum("cxyz,zZ->cxyZ", ch, expand(ch.shape[3]),
+                      precision=prec)
+
+
+def _premerge_upsampled(state_ch, sc0, n_grid, box_size, periodic, big):
+    """MXU nearest-upsample + own-cell rank-0 premerge as one fused
+    elementwise consumer: replaces ``_upsample_vals`` (3 gather passes)
+    + ``_premerge_inplace`` (a slab-looped full read+write whose
+    ``fori_loop`` blocks XLA fusion) — together 0.24 s of the 512^3
+    descent (``benchmarks/descent_breakdown.json``).  Bit-identical to
+    the sequential pair (asserted by ``tests/test_nn_values.py``)."""
     dtype = state_ch.dtype
-    m = state_ch.shape[1]
-    assert 2 * m == n_grid, (m, n_grid)
+    up = _upsample_vals_mxu(state_ch)
     axis = _centers_1d(n_grid, box_size, dtype)
     cx = axis[:, None, None]
     cy = axis[None, :, None]
     cz = axis[None, None, :]
-
-    def up(c):
-        c = jnp.broadcast_to(
-            c[:, None, :, None, :, None], (m, 2, m, 2, m, 2)
-        )
-        return c.reshape(n_grid, n_grid, n_grid)
 
     def d2(px, py, pz):
         dx = cx - px
@@ -623,14 +644,9 @@ def _premerge_upsampled(state_ch, sc0, n_grid, box_size, periodic, big):
             dz = dz - box_size * jnp.round(dz / box_size)
         return dx * dx + dy * dy + dz * dz
 
-    cd_seed = jnp.where(
-        sc0[-1] > 0.5, d2(sc0[0], sc0[1], sc0[2]), big
-    )
-    take = cd_seed < d2(up(state_ch[0]), up(state_ch[1]), up(state_ch[2]))
-    return jnp.stack([
-        jnp.where(take, sc0[c], up(state_ch[c]))
-        for c in range(state_ch.shape[0])
-    ])
+    cd_seed = jnp.where(sc0[-1] > 0.5, d2(sc0[0], sc0[1], sc0[2]), big)
+    take = cd_seed < d2(up[0], up[1], up[2])
+    return jnp.where(take[None], sc0[: state_ch.shape[0]], up)
 
 
 def _sweep_state_xla(ch, dist2, big, shifts):
@@ -781,22 +797,19 @@ def nn_gather_grid(
 
     for n in reversed(levels[:-1]):
         finest = n == n_grid
-        if finest and premerge:
-            # upsample WITHOUT the occupancy channel (uniform after the
-            # global coarsest solve — a scalar suffices; one less
-            # n_grid^3 f32 cube live through the finest level)
-            ch = _upsample_vals(state[0][:-1])
-        else:
-            ch = _upsample_vals(state[0])
         sc = seeds.pop(n)
         if finest and premerge:
-            # Merge the (single-rank) seeds at their own cell, drop the
-            # occupancy channel, and run the state-only sweep.
+            # Fused MXU upsample + own-cell rank-0 merge, WITHOUT the
+            # occupancy channel (uniform after the global coarsest
+            # solve — a scalar suffices; one less n_grid^3 f32 cube
+            # live through the finest level).  Chip A/B vs the
+            # sequential gather-upsample + slab premerge: 0.058 vs
+            # 0.184 s at 512^3 (``benchmarks/ab_premerge.json``).
             occ_any = jnp.max(sc[0, -1])
-            st7 = _premerge_inplace(
-                ch, sc[0], n, float(box_size), periodic, big
+            st7 = _premerge_upsampled(
+                state[0][:-1], sc[0], n, float(box_size), periodic, big
             )
-            del sc, ch
+            del sc
             zc = _pallas_zc(n, state_only=True)
             if use_pallas and zc:
                 from .nn_pallas import fit_iters, sweep_tiles_vals
@@ -841,6 +854,10 @@ def nn_gather_grid(
             if return_d2:
                 return pay, occ_any, d2_ub
             return pay, occ_any
+        # non-finest (or non-premerged) level: MXU nearest-upsample
+        # (bit-exact one-hot matmuls, 4.5x the gather path on chip —
+        # ``benchmarks/ab_premerge.json``)
+        ch = _upsample_vals_mxu(state[0])
         zc = _pallas_zc(n)
         if use_pallas and zc:
             from .nn_pallas import fit_iters, halo_z, sweep_tiles_vals, \
