@@ -120,11 +120,13 @@ def main():
           flush=True)
 
     out_dir = os.path.join(WORKDIR, "out")
+    os.makedirs(out_dir, exist_ok=True)
     cmd = [
         sys.executable, "-m", "vpower_tpu.run.cli",
         "-i", os.path.join(WORKDIR, "snap_550.*.hdf5"),
         "-o", out_dir, "-N", "512", "-M", "256",
         "--method", "nn", "--quantity", "velocity", "-f",
+        "--compile-cache", os.path.expanduser("~/.cache/vpower_jax"),
     ]
     t0 = time.time()
     proc = subprocess.run(
